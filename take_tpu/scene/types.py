@@ -1,0 +1,280 @@
+"""Scene representation: tagged SoA device arrays + static metadata.
+
+This is the TPU-native answer to the reference's AoS object graph
+(scene.h:13-33): every std::variant becomes an integer tag + flat parameter
+table, every std::vector<Struct> becomes a struct of arrays, and all
+triangles are pre-flattened into one soup (no Triangle{mesh_id,face_id}
+double indirection as in shape.h:25-28 / shape.cpp:45-50).
+
+All *Arrays classes are registered pytrees, so a Scene flows through
+jit/vmap/shard_map/grad directly. Static facts (counts, which material tags
+occur, camera, options) live in metadata fields so XLA specializes on them.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from take_tpu.core.camera import Camera
+
+# ---------------------------------------------------------------------------
+# Material tags (order mirrors the reference variant, material.h:82-93)
+# ---------------------------------------------------------------------------
+MAT_DIFFUSE = 0
+MAT_MIRROR = 1
+MAT_PLASTIC = 2
+MAT_PHONG = 3
+MAT_BLINN_PHONG = 4
+MAT_BLINN_PHONG_MICROFACET = 5
+MAT_DISNEY_DIFFUSE = 6
+MAT_DISNEY_METAL = 7
+MAT_DISNEY_GLASS = 8
+MAT_DISNEY_CLEARCOAT = 9
+MAT_DISNEY_SHEEN = 10
+MAT_DISNEY_BSDF = 11
+
+MATERIAL_NAMES = {
+    MAT_DIFFUSE: "diffuse",
+    MAT_MIRROR: "mirror",
+    MAT_PLASTIC: "plastic",
+    MAT_PHONG: "phong",
+    MAT_BLINN_PHONG: "blinnphong",
+    MAT_BLINN_PHONG_MICROFACET: "blinnphongmicrofacet",
+    MAT_DISNEY_DIFFUSE: "disneydiffuse",
+    MAT_DISNEY_METAL: "disneymetal",
+    MAT_DISNEY_GLASS: "disneyglass",
+    MAT_DISNEY_CLEARCOAT: "disneyclearcoat",
+    MAT_DISNEY_SHEEN: "disneysheen",
+    MAT_DISNEY_BSDF: "disneybsdf",
+}
+
+# Light tags (light.h:19)
+LIGHT_POINT = 0
+LIGHT_AREA = 1
+
+# Shape kinds for light -> shape references
+SHAPE_TRI = 0
+SHAPE_SPHERE = 1
+
+# Texture slot kinds (texture.h:27)
+TEX_CONST = 0
+TEX_IMAGE = 1
+
+
+def _register(cls):
+    """Register a dataclass whose fields are all pytree data."""
+    fields = [f.name for f in cls.__dataclass_fields__.values()]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_register
+@dataclass
+class GeometryArrays:
+    """Triangle soup + sphere table.
+
+    Triangles store v0 and edges e1 = v1-v0, e2 = v2-v0 (the Möller–Trumbore
+    operands, shape.cpp:44-110) plus per-corner shading normals and UVs.
+    `flags` bit 0 = has vertex normals, bit 1 = has UVs (reference falls back
+    to geometric normal / barycentric uv when a mesh lacks them,
+    shape.cpp:88-107).
+    """
+
+    tri_v0: Any  # [T, 3]
+    tri_e1: Any  # [T, 3]
+    tri_e2: Any  # [T, 3]
+    tri_n0: Any  # [T, 3]
+    tri_n1: Any  # [T, 3]
+    tri_n2: Any  # [T, 3]
+    tri_uv0: Any  # [T, 2]
+    tri_uv1: Any  # [T, 2]
+    tri_uv2: Any  # [T, 2]
+    tri_mat: Any  # [T] int32
+    tri_light: Any  # [T] int32, -1 if not emissive
+    tri_flags: Any  # [T] int32
+    sph_center: Any  # [S, 3]
+    sph_radius: Any  # [S]
+    sph_mat: Any  # [S] int32
+    sph_light: Any  # [S] int32
+
+
+@_register
+@dataclass
+class MaterialArrays:
+    """12-way material variant flattened to tag + parameter SoA.
+
+    Parameter slots are shared across tags (e.g. `exponent` is Phong's alpha;
+    `eta` is Mirror/Plastic/DisneyGlass/DisneyBSDF IOR). The reflectance
+    texture variant (texture.h:27) is inlined as a per-material texture slot.
+    """
+
+    tag: Any  # [M] int32
+    tex_kind: Any  # [M] int32 (TEX_CONST | TEX_IMAGE)
+    tex_value: Any  # [M, 3] const color
+    tex_image: Any  # [M] int32 atlas index
+    tex_uvscale: Any  # [M, 2]
+    tex_uvoffset: Any  # [M, 2]
+    eta: Any  # [M]
+    exponent: Any  # [M]
+    roughness: Any  # [M]
+    subsurface: Any  # [M]
+    anisotropic: Any  # [M]
+    metallic: Any  # [M]
+    spec_trans: Any  # [M]
+    specular: Any  # [M]
+    specular_tint: Any  # [M]
+    sheen: Any  # [M]
+    sheen_tint: Any  # [M]
+    clearcoat: Any  # [M]
+    clearcoat_gloss: Any  # [M]
+
+
+@_register
+@dataclass
+class LightArrays:
+    """Point + diffuse-area lights (light.h:9-17) as one tagged table.
+
+    Unlike the reference, the power PMF/CDF is actually populated (the
+    reference declares scene.lights_power_pmf/cdf but never fills them —
+    scene.h:28-29 ⚠), so power-proportional light sampling works.
+    """
+
+    tag: Any  # [L] int32
+    intensity: Any  # [L, 3]
+    position: Any  # [L, 3] (point lights)
+    shape_kind: Any  # [L] int32 (area lights: SHAPE_TRI | SHAPE_SPHERE)
+    shape_idx: Any  # [L] int32 index into tri/sphere arrays
+    area: Any  # [L] shape surface area
+    power_pmf: Any  # [L]
+    power_cdf: Any  # [L] inclusive cdf
+
+
+@_register
+@dataclass
+class TextureAtlas:
+    """Image textures, padded to a common [n, Hmax, Wmax, 3] block.
+
+    `width`/`height` give each image's true extent for wrap-around bilinear
+    sampling (texture.cpp:7-26 semantics).
+    """
+
+    data: Any  # [n, Hmax, Wmax, 3]
+    width: Any  # [n] int32
+    height: Any  # [n] int32
+
+
+@_register
+@dataclass
+class EnvMap:
+    """Environment light (IBL): lat-long radiance map + sampling tables.
+
+    The reference only has a flat background color (scene.h:27); the env map
+    implements the README's IBL capability with alias-table importance
+    sampling. `present` is judged by SceneMeta.has_envmap.
+    """
+
+    data: Any  # [H, W, 3] radiance
+    # Alias table over all H*W texels of the luminance-weighted distribution.
+    alias_prob: Any  # [H*W] acceptance probability
+    alias_idx: Any  # [H*W] alias index
+    pdf: Any  # [H, W] solid-angle pdf of each texel's direction
+    to_world: Any  # [3, 3] rotation
+    to_local: Any  # [3, 3] inverse rotation
+    scale: Any  # [] radiance multiplier
+
+
+@dataclass(frozen=True)
+class SceneMeta:
+    """Static scene facts — part of the jit specialization key."""
+
+    n_tri: int
+    n_sph: int
+    n_mat: int
+    n_lights: int
+    n_tex: int
+    used_material_tags: Tuple[int, ...]
+    has_image_textures: bool
+    has_envmap: bool
+    has_area_lights: bool
+    has_point_lights: bool
+    any_uv: bool
+    any_normals: bool
+    camera: Optional[Camera] = None
+
+
+@_register
+@dataclass
+class BVHArrays:
+    """Flattened n-wide BVH (built host-side, traversed on device).
+
+    nodes are stored depth-first; see take_tpu/geometry/bvh.py.
+    """
+
+    node_min: Any  # [NODES, W, 3] child box minima
+    node_max: Any  # [NODES, W, 3] child box maxima
+    node_child: Any  # [NODES, W] int32: >=0 internal node id, <0 ~leaf encoding
+    node_count: Any  # [NODES, W] int32: leaf primitive count (0 for internal)
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    """Runtime rendering options (reference RenderOptions, scene.h:5-10 +
+    CLI -max_depth, render.cpp:14)."""
+
+    spp: int = 4
+    max_depth: int = 50
+    integrator: str = "mis"  # "mis" | "one_sample_mis" | "raw"
+    seed: int = 0
+    # Rays are processed in chunks of at most this many paths to bound memory.
+    max_rays_per_pass: int = 1 << 20
+
+
+@dataclass
+class Scene:
+    """The full device scene. A pytree; `meta` is a static (hashable) field,
+    so jit specializes per scene topology but re-traces nothing when only
+    array contents (e.g. material parameters under optimization) change."""
+
+    geometry: GeometryArrays
+    materials: MaterialArrays
+    lights: LightArrays
+    textures: TextureAtlas
+    background: Any  # [3] radiance returned on miss (scene.h:27)
+    envmap: Optional[EnvMap]
+    bvh: Optional[BVHArrays]
+    meta: SceneMeta
+
+
+jax.tree_util.register_dataclass(
+    Scene,
+    data_fields=[
+        "geometry",
+        "materials",
+        "lights",
+        "textures",
+        "background",
+        "envmap",
+        "bvh",
+    ],
+    meta_fields=["meta"],
+)
+
+
+# Flags bits for tri_flags
+TRI_HAS_NORMALS = 1
+TRI_HAS_UV = 2
+
+
+class Hit(NamedTuple):
+    """Batched intersection record (intersection.h) as SoA."""
+
+    valid: Any  # [N] bool
+    t: Any  # [N]
+    pos: Any  # [N, 3]
+    geo_n: Any  # [N, 3] always faces the incoming ray (shape.cpp:35,84)
+    sh_n: Any  # [N, 3] interpolated shading normal (NOT ray-flipped)
+    uv: Any  # [N, 2]
+    mat_id: Any  # [N] int32
+    light_id: Any  # [N] int32 (-1 = not an emitter)
