@@ -12,12 +12,15 @@ import jax.numpy as jnp
 # enabling jax_enable_x64 and passing dtype explicitly to builders.
 real_dtype = jnp.float32
 
-# Minimum parametric distance for secondary rays, as used by the reference
-# (take.h:30). In f32 this alone is not enough to prevent self-intersection at
-# scene scale, so intersection code additionally offsets by RAY_EPS_REL * t.
+# Minimum parametric distance for rays, as used by the reference (take.h:30).
+# Kept small: self-intersection in f32 is prevented by offsetting the ray
+# ORIGIN (see integrator's offset_origin), not by inflating tmin — a fixed
+# tmin cannot be right at every scene scale.
 C_EPSILON = 1e-4
 
-# Relative epsilon: secondary-ray tmin = max(C_EPSILON, RAY_EPS_REL * hit_t).
-RAY_EPS_REL = 1e-3
+# Origin offset scale: spawn points move RAY_OFFSET_REL * (1 + |p|_inf) along
+# the geometric normal. ~1000 f32 ulps — covers the accumulated error of
+# intersection + position reconstruction at any scene scale.
+RAY_OFFSET_REL = 1.2e-4
 
 INF = float("inf")

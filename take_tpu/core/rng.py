@@ -18,8 +18,9 @@ validated in tests/test_rng.py (equidistribution + pair correlation).
 """
 
 import jax.numpy as jnp
+import numpy as np
 
-_U32 = jnp.uint32
+_U32 = np.uint32  # numpy scalars: no device ops at import time
 
 # murmur3 / splitmix constants
 _M1 = _U32(0x85EBCA6B)

@@ -25,6 +25,7 @@ def sample_cos_power(u1, u2, exponent):
     """cos^alpha lobe around local z. pdf = (alpha+1)/(2 pi) cos^alpha(theta).
 
     Matches phong.inl:10-17 exactly (including the clamp structure).
+    u1, u2, exponent must have the same (broadcast-compatible) shape [N].
     """
     recip_a1 = 1.0 / (exponent + 1.0)
     phi = C_TWOPI * u2

@@ -39,6 +39,18 @@ from take_tpu.materials.bsdf import (
 from take_tpu.scene.types import RenderOptions, Scene
 
 
+def offset_origin(pos, geo_n, direction):
+    """Spawn point for secondary rays: offset along the geometric normal,
+    signed toward `direction`'s hemisphere, scaled with the position magnitude
+    (f32 replacement for the reference's fixed 1e-7 tmin, take.h:30 — which is
+    below f32 resolution at any realistic scene scale)."""
+    delta = config.RAY_OFFSET_REL * (
+        1.0 + jnp.max(jnp.abs(pos), axis=-1, keepdims=True)
+    )
+    sign = jnp.sign(jnp.sum(direction * geo_n, axis=-1, keepdims=True))
+    return pos + sign * delta * geo_n
+
+
 def _background(scene: Scene, rd):
     """Radiance for escaped rays: env map if present, else flat background."""
     if scene.meta.has_envmap:
@@ -101,9 +113,11 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
             d = jnp.linalg.norm(delta, axis=-1)
             light_dir = delta / jnp.maximum(d, 1e-30)[:, None]
 
-            # Occlusion: tmax = (1 - eps) * d (path_tracing.h:53-54)
+            # Occlusion: tmax = (1 - eps) * d (path_tracing.h:53-54); origin
+            # offset off the surface to avoid f32 self-shadowing
+            shadow_o = offset_origin(hit.pos, hit.geo_n, light_dir)
             shadow_occ = occluded(
-                scene, hit.pos, light_dir, jnp.full(N, eps), (1.0 - eps) * d
+                scene, shadow_o, light_dir, jnp.full(N, eps), (1.0 - 1e-3) * d
             )
             FG = bsdf_eval(scene, sp, dir_in, light_dir)
 
@@ -138,7 +152,7 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
         dir_out = normalize(dir_out, eps=1e-30)
         sample_ok = bpdf > 0.0
 
-        new_ro = hit.pos
+        new_ro = offset_origin(hit.pos, hit.geo_n, dir_out)
         new_hit = intersect_scene(scene, new_ro, dir_out, tmin0, tmax0)
 
         contrib = safe_div(FG, bpdf[:, None], 0.0)  # FG / bsdf_pdf

@@ -226,7 +226,7 @@ def _plastic_pdf(sp, dir_in, dir_out):
 def _phong_sample(sp, dir_in, u1, u2):
     n = _shading_frame(sp, dir_in)
     refl_dir = normalize(reflect(dir_in, n))
-    local_out = sample_cos_power(u1, u2, sp.exponent[..., None])
+    local_out = sample_cos_power(u1, u2, sp.exponent)
     dir_out = normalize(to_world(refl_dir, local_out))
     cos_r = dot(refl_dir, dir_out)
     pdf = jnp.maximum(
@@ -270,7 +270,7 @@ def _phong_eval(sp, dir_in, dir_out, sample_pdf):
 
 def _blinn_phong_sample_h(sp, dir_in, u1, u2):
     n = _shading_frame(sp, dir_in)
-    local_h = sample_cos_power(u1, u2, sp.exponent[..., None])
+    local_h = sample_cos_power(u1, u2, sp.exponent)
     h = normalize(to_world(n, local_h))
     dir_out = normalize(reflect(dir_in, h))
     return n, h, dir_out
