@@ -1,0 +1,186 @@
+"""Wide-BVH construction (host-side numpy) for device traversal.
+
+Design (SURVEY §7.1/§7.3): the reference's binary median-split BVH with one
+primitive per leaf and recursive traversal (bvh.cpp:8-45, :86-109) maps
+poorly to TPU lockstep lanes. Instead we build:
+
+  * an LBVH-style binary tree via Morton-code radix sort (the north-star
+    structure) refined with median splits,
+  * collapsed into a WIDE BVH (branching factor 8, matching the VPU sublane
+    group) whose nodes store their children's AABBs as struct-of-arrays —
+    one [8, 6] slab test per visited node per ray, fully vectorized,
+  * leaves reference contiguous runs of REORDERED triangles (clustered by
+    the build), so a leaf test is a dense sweep over a small triangle range.
+
+Traversal lives in geometry/traverse.py (lax.while_loop + per-ray stack) and
+later a Pallas kernel.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+WIDTH = 8  # children per node
+LEAF_SIZE = 16  # max primitives per leaf
+
+
+@dataclass
+class _BuildNode:
+    lo: int  # primitive range start (in sorted order)
+    hi: int  # primitive range end
+    bbox_min: np.ndarray
+    bbox_max: np.ndarray
+    children: list  # empty = leaf
+
+
+def _morton3(x, y, z):
+    """30-bit Morton code from 10-bit quantized coordinates."""
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    return (spread(x) << 2) | (spread(y) << 1) | spread(z)
+
+
+def _build_binary(order, centers, bmin, bmax, lo, hi):
+    """Top-down median split in Morton order; returns a _BuildNode."""
+    node_min = bmin[order[lo:hi]].min(axis=0)
+    node_max = bmax[order[lo:hi]].max(axis=0)
+    n = hi - lo
+    if n <= LEAF_SIZE:
+        return _BuildNode(lo, hi, node_min, node_max, [])
+    mid = lo + n // 2
+    left = _build_binary(order, centers, bmin, bmax, lo, mid)
+    right = _build_binary(order, centers, bmin, bmax, mid, hi)
+    return _BuildNode(lo, hi, node_min, node_max, [left, right])
+
+
+def _collapse_wide(node):
+    """Collapse a binary tree into WIDTH-ary by pulling up grandchildren."""
+    if not node.children:
+        return node
+    kids = list(node.children)
+    # greedily expand the child with the largest surface area until WIDTH
+    while len(kids) < WIDTH:
+        best = None
+        for i, k in enumerate(kids):
+            if k.children:
+                area = np.prod(np.maximum(k.bbox_max - k.bbox_min, 0) + 1e-9)
+                if best is None or area > best[1]:
+                    best = (i, area)
+        if best is None:
+            break
+        i = best[0]
+        expanded = kids.pop(i)
+        kids.extend(expanded.children)
+    node.children = [_collapse_wide(k) for k in kids]
+    return node
+
+
+def build_bvh(bbox_min: np.ndarray, bbox_max: np.ndarray):
+    """Build a wide BVH over primitives with the given AABBs.
+
+    Returns (node_min [M,W,3], node_max [M,W,3], node_child [M,W],
+    node_count [M,W], prim_order [P]):
+      * node_child[m, w] >= 0: internal child node index,
+      * node_child[m, w] < 0 with node_count > 0: leaf — primitives
+        prim_order[-(child+1) : -(child+1)+count],
+      * node_count[m, w] == 0 and child == -1: empty slot.
+    """
+    P = bbox_min.shape[0]
+    centers = 0.5 * (bbox_min + bbox_max)
+    lo = centers.min(axis=0)
+    ext = np.maximum(centers.max(axis=0) - lo, 1e-12)
+    q = np.clip(((centers - lo) / ext * 1023.0), 0, 1023).astype(np.uint32)
+    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
+    order = np.argsort(codes, kind="stable").astype(np.int64)
+
+    root = _build_binary(order, centers, bbox_min, bbox_max, 0, P)
+    root = _collapse_wide(root)
+
+    # flatten breadth-first
+    nodes = []
+
+    def alloc(node):
+        idx = len(nodes)
+        nodes.append(node)
+        return idx
+
+    alloc(root)
+    i = 0
+    while i < len(nodes):
+        for k in nodes[i].children:
+            if k.children:
+                alloc(k)
+        i += 1
+
+    # assign indices
+    index_of = {}
+    for idx, nd in enumerate(nodes):
+        index_of[id(nd)] = idx
+
+    M = len(nodes)
+    node_min = np.zeros((M, WIDTH, 3), np.float32)
+    node_max = np.zeros((M, WIDTH, 3), np.float32)
+    node_child = np.full((M, WIDTH), -1, np.int32)
+    node_count = np.zeros((M, WIDTH), np.int32)
+    # empty slots get inverted boxes so every slab test misses
+    node_min[:] = np.float32(3e38)
+    node_max[:] = np.float32(-3e38)
+
+    for idx, nd in enumerate(nodes):
+        for w, k in enumerate(nd.children):
+            node_min[idx, w] = k.bbox_min
+            node_max[idx, w] = k.bbox_max
+            if k.children:
+                node_child[idx, w] = index_of[id(k)]
+            else:
+                node_child[idx, w] = -(k.lo + 1)
+                node_count[idx, w] = k.hi - k.lo
+    if not root.children:
+        # tiny scene: root itself is a leaf — encode as single-slot node
+        node_min[0, 0] = root.bbox_min
+        node_max[0, 0] = root.bbox_max
+        node_child[0, 0] = -(root.lo + 1)
+        node_count[0, 0] = root.hi - root.lo
+
+    return node_min, node_max, node_child, node_count, order
+
+
+def build_scene_bvh(scene):
+    """Attach BVHArrays to a Scene (triangle soup only; spheres are swept
+    brute-force — scenes have few)."""
+    import jax.numpy as jnp
+
+    from take_tpu.scene.types import BVHArrays
+
+    g = scene.geometry
+    n_tri = scene.meta.n_tri
+    v0 = np.asarray(g.tri_v0)[:n_tri]
+    e1 = np.asarray(g.tri_e1)[:n_tri]
+    e2 = np.asarray(g.tri_e2)[:n_tri]
+    p1 = v0 + e1
+    p2 = v0 + e2
+    bmin = np.minimum(np.minimum(v0, p1), p2)
+    bmax = np.maximum(np.maximum(v0, p1), p2)
+    node_min, node_max, node_child, node_count, order = build_bvh(bmin, bmax)
+
+    # reorder triangle tables so leaves are contiguous (then rebuild the
+    # packed operands for the new order)
+    import dataclasses
+
+    from take_tpu.scene.build import repack_triangles
+
+    scene = repack_triangles(scene, order)
+    bvh = BVHArrays(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        node_child=jnp.asarray(node_child),
+        node_count=jnp.asarray(node_count),
+    )
+    return dataclasses.replace(scene, bvh=bvh)

@@ -1,11 +1,11 @@
 """Batched ray/scene intersection (brute force path).
 
-The wavefront design keeps rays as flat SoA arrays [N]; intersection tests
-all primitives per ray with broadcasting ([N, T] / [N, S] temporaries) and
-reduces with argmin — the vectorized counterpart of scene_intersect's
-brute-force fallback (scene.cpp:25-47). The BVH path (geometry/traverse.py)
-replaces the all-pairs sweep for large scenes; both produce identical Hit
-records.
+TPU-layout-aware design: the all-pairs sweep is computed in *component form*
+— every temporary is an [N, T] (rays x triangles) or [N, S] f32 array, never
+[N, T, 3]. On TPU the trailing length-3 axis of naive vector math would
+occupy 3 of 128 vector lanes (a 42x waste); in component form the primitive
+axis fills the lanes (the scene builder pads triangle tables to a multiple
+of 128). The wavefront keeps rays as flat SoA arrays [N].
 
 Primitive semantics mirror the reference exactly:
   * Möller–Trumbore with parallel-ray epsilon reject (shape.cpp:44-110),
@@ -15,36 +15,74 @@ Primitive semantics mirror the reference exactly:
   * barycentric UV / interpolated UV, interpolated (unflipped) shading
     normal (shape.cpp:88-107),
   * sphere spherical UV via get_sphere_uv (shape.cpp:3-11).
+
+The BVH path (geometry/traverse.py) replaces the all-pairs sweep for large
+scenes; both produce identical Hit records.
 """
 
+import jax
 import jax.numpy as jnp
 
 from take_tpu.core.math import C_PI, C_TWOPI, normalize
-from take_tpu.scene.types import Hit, Scene, TRI_HAS_NORMALS, TRI_HAS_UV
+from take_tpu.scene.types import (
+    ATTR_FLAGS,
+    ATTR_GEO_N,
+    ATTR_LIGHT,
+    ATTR_MAT,
+    ATTR_N0,
+    ATTR_N1,
+    ATTR_N2,
+    ATTR_UV0,
+    ATTR_UV1,
+    ATTR_UV2,
+    Hit,
+    Scene,
+    TRI_HAS_NORMALS,
+    TRI_HAS_UV,
+)
 
-# Parallel-ray determinant epsilon (take.h:30). Scale-free enough in f32 for
-# the scenes we target; the self-intersection guard is the *ray offset*
-# policy in the integrator, not this.
-_DET_EPS = 1e-7
+# Parallel-ray epsilon on the (u,v,w)-frame direction component; plays the
+# role of the reference's determinant test (take.h:30, shape.cpp:58).
+_DW_EPS = 1e-12
 
 _BIG = jnp.float32(3.4e38)
 
 
-def _tri_candidates(g, n_tri, ro, rd, tmin, tmax):
-    """Möller–Trumbore all triangles: returns (t, u, v, valid) each [N, T]."""
-    v0 = g.tri_v0  # [T, 3]
-    e1 = g.tri_e1
-    e2 = g.tri_e2
-    # [N, T, 3] broadcasting
-    h = jnp.cross(rd[:, None, :], e2[None, :, :])
-    a = jnp.sum(e1[None] * h, axis=-1)  # [N, T]
-    parallel = jnp.abs(a) < _DET_EPS
-    f = 1.0 / jnp.where(parallel, 1.0, a)
-    s = ro[:, None, :] - v0[None]
-    u = f * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1[None])
-    v = f * jnp.sum(rd[:, None, :] * q, axis=-1)
-    t = f * jnp.sum(e2[None] * q, axis=-1)
+def _tri_uvt(g, ro, rd, tmin, tmax, n_tri):
+    """Ray-triangle intersection as two MXU matmuls. Returns (t, u, v, valid).
+
+    Each triangle owns an affine map into its (u, v, w) frame (columns
+    e1, e2, n inverted; built in scene/build.py): with s = M (o - v0) and
+    dd = M d, the hit is at t = -s_w / dd_w, u = s_u + t dd_u,
+    v = s_v + t dd_v. The maps for all T triangles are packed axis-major
+    into [4, 3T] / [3, 3T] operands, so the whole sweep is
+      [N, 4] @ [4, 3T] and [N, 3] @ [3, 3T]
+    — MXU work — followed by a handful of [N, T] elementwise ops on
+    contiguous slices. No [N, T, 3] temporaries, no gathers.
+    """
+    T = g.tri_attr.shape[0]
+    dt = ro.dtype
+    oh = jnp.concatenate([ro, jnp.ones((ro.shape[0], 1), dt)], axis=1)  # [N,4]
+    # Precision.HIGHEST: TPU f32 matmuls default to single-pass bf16, whose
+    # ~8-bit mantissa is catastrophic for world-space intersection at scene
+    # scale. K is 3/4 so the full-precision passes cost nothing.
+    s = jnp.dot(
+        oh, g.tri_affine_o, preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, 3T]
+    dd = jnp.dot(
+        rd, g.tri_affine_d, preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, 3T]
+    su, sv, sw = s[:, :T], s[:, T : 2 * T], s[:, 2 * T :]
+    du, dv, dw = dd[:, :T], dd[:, T : 2 * T], dd[:, 2 * T :]
+
+    parallel = jnp.abs(dw) < _DW_EPS
+    inv_dw = 1.0 / jnp.where(parallel, 1.0, dw)
+    t = -sw * inv_dw
+    u = su + t * du
+    v = sv + t * dv
+
     valid = (
         (~parallel)
         & (u >= 0.0)
@@ -54,19 +92,28 @@ def _tri_candidates(g, n_tri, ro, rd, tmin, tmax):
         & (t >= tmin[:, None])
         & (t <= tmax[:, None])
     )
-    T = v0.shape[0]
     if n_tri < T:
-        idx = jnp.arange(T)
-        valid = valid & (idx[None, :] < n_tri)
+        valid = valid & (jnp.arange(T)[None, :] < n_tri)
     return t, u, v, valid
 
 
-def _sph_candidates(g, n_sph, ro, rd, tmin, tmax):
-    """Sphere quadratic (shape.cpp:13-29): returns (t, valid) each [N, S]."""
-    oc = ro[:, None, :] - g.sph_center[None]  # [N, S, 3]
-    a = jnp.sum(rd * rd, axis=-1)[:, None]  # [N, 1]
-    half_b = jnp.sum(oc * rd[:, None, :], axis=-1)
-    c = jnp.sum(oc * oc, axis=-1) - g.sph_radius[None] ** 2
+def _sph_t(g, ro, rd, tmin, tmax, n_sph):
+    """Sphere quadratic (shape.cpp:13-29), component form: (t, valid) [N, S]."""
+    rox, roy, roz = (ro[:, 0:1], ro[:, 1:2], ro[:, 2:3])
+    rdx, rdy, rdz = (rd[:, 0:1], rd[:, 1:2], rd[:, 2:3])
+    cx, cy, cz = (
+        g.sph_center[:, 0][None],
+        g.sph_center[:, 1][None],
+        g.sph_center[:, 2][None],
+    )
+    r2 = (g.sph_radius**2)[None]
+
+    ocx = rox - cx
+    ocy = roy - cy
+    ocz = roz - cz
+    a = rdx * rdx + rdy * rdy + rdz * rdz  # [N, 1]
+    half_b = ocx * rdx + ocy * rdy + ocz * rdz
+    c = ocx * ocx + ocy * ocy + ocz * ocz - r2
     disc = half_b * half_b - a * c
     hit = disc >= 0.0
     sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -78,8 +125,7 @@ def _sph_candidates(g, n_sph, ro, rd, tmin, tmax):
     valid = hit & (in0 | in1)
     S = g.sph_radius.shape[0]
     if n_sph < S:
-        idx = jnp.arange(S)
-        valid = valid & (idx[None, :] < n_sph)
+        valid = valid & (jnp.arange(S)[None, :] < n_sph)
     return t, valid
 
 
@@ -112,20 +158,40 @@ def _brute_force_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
     g = scene.geometry
     meta = scene.meta
     N = ro.shape[0]
+    T = g.tri_attr.shape[0]
 
-    # --- triangles ---
-    t_tri, u, v, valid_t = _tri_candidates(g, meta.n_tri, ro, rd, tmin, tmax)
-    t_tri_masked = jnp.where(valid_t, t_tri, _BIG)
-    best_tri = jnp.argmin(t_tri_masked, axis=1)  # [N]
-    tri_t = jnp.take_along_axis(t_tri_masked, best_tri[:, None], axis=1)[:, 0]
-    tri_hit = tri_t < _BIG
+    # --- triangles (statically skipped when the scene has none — feeding a
+    # constant all-miss sweep to XLA triggers pathological constant folding)
+    if meta.n_tri > 0:
+        t_tri, u, v, valid_t = _tri_uvt(g, ro, rd, tmin, tmax, meta.n_tri)
+        t_tri_masked = jnp.where(valid_t, t_tri, _BIG)
+        best_tri = jnp.argmin(t_tri_masked, axis=1)  # [N]
+        tri_t = jnp.min(t_tri_masked, axis=1)
+        tri_hit = tri_t < _BIG
+
+        # winner attributes via one-hot @ attribute-table (MXU) — no gathers.
+        # HIGHEST precision: attribute columns carry ids/flags that bf16
+        # passes would round.
+        onehot = (jnp.arange(T)[None, :] == best_tri[:, None]).astype(ro.dtype)
+        attrs = jnp.dot(
+            onehot, g.tri_attr, preferred_element_type=ro.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        u_best = jnp.sum(u * onehot, axis=1)
+        v_best = jnp.sum(v * onehot, axis=1)
+    else:
+        tri_t = jnp.full(N, _BIG)
+        tri_hit = jnp.zeros(N, bool)
+        attrs = jnp.zeros((N, g.tri_attr.shape[1]), ro.dtype)
+        u_best = jnp.zeros(N, ro.dtype)
+        v_best = jnp.zeros(N, ro.dtype)
 
     # --- spheres ---
     if meta.n_sph > 0:
-        t_sph, valid_s = _sph_candidates(g, meta.n_sph, ro, rd, tmin, tmax)
+        t_sph, valid_s = _sph_t(g, ro, rd, tmin, tmax, meta.n_sph)
         t_sph_masked = jnp.where(valid_s, t_sph, _BIG)
         best_sph = jnp.argmin(t_sph_masked, axis=1)
-        sph_t = jnp.take_along_axis(t_sph_masked, best_sph[:, None], axis=1)[:, 0]
+        sph_t = jnp.min(t_sph_masked, axis=1)
         sph_hit = sph_t < _BIG
     else:
         best_sph = jnp.zeros(N, jnp.int32)
@@ -139,13 +205,7 @@ def _brute_force_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
     # so masked lanes never generate inf/nan that poison gradients.
     t_safe = jnp.where(valid, t, 1.0)
 
-    # --- shade attributes for the winning primitive ---
-    hit_tri = shade_triangle_hit(
-        g, best_tri,
-        jnp.take_along_axis(u, best_tri[:, None], axis=1)[:, 0],
-        jnp.take_along_axis(v, best_tri[:, None], axis=1)[:, 0],
-        ro, rd, t_safe,
-    )
+    hit_tri = shade_triangle_attrs(attrs, u_best, v_best, ro, rd, t_safe)
     if meta.n_sph > 0:
         hit_sph = shade_sphere_hit(g, best_sph, ro, rd, t_safe)
         sel = use_sph[:, None]
@@ -155,47 +215,50 @@ def _brute_force_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
         uv = jnp.where(sel, hit_sph.uv, hit_tri.uv)
         mat_id = jnp.where(use_sph, hit_sph.mat_id, hit_tri.mat_id)
         light_id = jnp.where(use_sph, hit_sph.light_id, hit_tri.light_id)
+        front = jnp.where(use_sph, hit_sph.front, hit_tri.front)
     else:
         pos, geo_n, sh_n = hit_tri.pos, hit_tri.geo_n, hit_tri.sh_n
         uv, mat_id, light_id = hit_tri.uv, hit_tri.mat_id, hit_tri.light_id
+        front = hit_tri.front
 
     return Hit(
         valid=valid, t=t, pos=pos, geo_n=geo_n, sh_n=sh_n, uv=uv,
-        mat_id=mat_id, light_id=light_id,
+        mat_id=mat_id, light_id=light_id, front=front,
     )
 
 
-def shade_triangle_hit(g, idx, u, v, ro, rd, t) -> Hit:
-    """Build the Hit record for triangle `idx` at barycentrics (u, v)."""
-    v0 = g.tri_v0[idx]
-    e1 = g.tri_e1[idx]
-    e2 = g.tri_e2[idx]
+def shade_triangle_attrs(attrs, u, v, ro, rd, t) -> Hit:
+    """Build the Hit record from one-hot-combined packed attributes [N, A]."""
     pos = ro + rd * t[:, None]
-    geo_n = normalize(jnp.cross(e1, e2), eps=1e-30)
-    # flip toward incoming ray (shape.cpp:84)
-    flip = jnp.sum(rd * geo_n, axis=-1, keepdims=True) < 0.0
-    geo_n = jnp.where(flip, geo_n, -geo_n)
+    geo_n = attrs[:, ATTR_GEO_N : ATTR_GEO_N + 3]
+    # flip toward incoming ray (shape.cpp:84); record the pre-flip side
+    front_face = jnp.sum(rd * geo_n, axis=-1, keepdims=True) < 0.0
+    geo_n = jnp.where(front_face, geo_n, -geo_n)
 
     w = 1.0 - u - v
-    flags = g.tri_flags[idx]
+    flags = attrs[:, ATTR_FLAGS].astype(jnp.int32)
     has_n = (flags & TRI_HAS_NORMALS) != 0
     sh_interp = normalize(
-        w[:, None] * g.tri_n0[idx] + u[:, None] * g.tri_n1[idx]
-        + v[:, None] * g.tri_n2[idx],
+        w[:, None] * attrs[:, ATTR_N0 : ATTR_N0 + 3]
+        + u[:, None] * attrs[:, ATTR_N1 : ATTR_N1 + 3]
+        + v[:, None] * attrs[:, ATTR_N2 : ATTR_N2 + 3],
         eps=1e-30,
     )
     sh_n = jnp.where(has_n[:, None], sh_interp, geo_n)
 
     has_uv = (flags & TRI_HAS_UV) != 0
     uv_interp = (
-        w[:, None] * g.tri_uv0[idx] + u[:, None] * g.tri_uv1[idx]
-        + v[:, None] * g.tri_uv2[idx]
+        w[:, None] * attrs[:, ATTR_UV0 : ATTR_UV0 + 2]
+        + u[:, None] * attrs[:, ATTR_UV1 : ATTR_UV1 + 2]
+        + v[:, None] * attrs[:, ATTR_UV2 : ATTR_UV2 + 2]
     )
     uv = jnp.where(has_uv[:, None], uv_interp, jnp.stack([u, v], axis=-1))
 
     return Hit(
         valid=None, t=t, pos=pos, geo_n=geo_n, sh_n=sh_n, uv=uv,
-        mat_id=g.tri_mat[idx], light_id=g.tri_light[idx],
+        mat_id=attrs[:, ATTR_MAT].astype(jnp.int32),
+        light_id=attrs[:, ATTR_LIGHT].astype(jnp.int32),
+        front=front_face[:, 0],
     )
 
 
@@ -203,12 +266,12 @@ def shade_sphere_hit(g, idx, ro, rd, t) -> Hit:
     center = g.sph_center[idx]
     pos = ro + rd * t[:, None]
     n = normalize(pos - center, eps=1e-30)
-    flip = jnp.sum(rd * n, axis=-1, keepdims=True) < 0.0
-    n_flipped = jnp.where(flip, n, -n)
+    front = jnp.sum(rd * n, axis=-1, keepdims=True) < 0.0
+    n_flipped = jnp.where(front, n, -n)
     uv = _sphere_uv(n_flipped)
     return Hit(
         valid=None, t=t, pos=pos, geo_n=n_flipped, sh_n=n_flipped, uv=uv,
-        mat_id=g.sph_mat[idx], light_id=g.sph_light[idx],
+        mat_id=g.sph_mat[idx], light_id=g.sph_light[idx], front=front[:, 0],
     )
 
 
@@ -225,9 +288,11 @@ def occluded(scene: Scene, ro, rd, tmin, tmax):
         return bvh_occluded(scene, ro, rd, tmin, tmax)
     g = scene.geometry
     meta = scene.meta
-    _, _, _, valid_t = _tri_candidates(g, meta.n_tri, ro, rd, tmin, tmax)
-    occ = jnp.any(valid_t, axis=1)
+    occ = jnp.zeros(ro.shape[0], bool)
+    if meta.n_tri > 0:
+        _, _, _, valid_t = _tri_uvt(g, ro, rd, tmin, tmax, meta.n_tri)
+        occ = jnp.any(valid_t, axis=1)
     if meta.n_sph > 0:
-        _, valid_s = _sph_candidates(g, meta.n_sph, ro, rd, tmin, tmax)
+        _, valid_s = _sph_t(g, ro, rd, tmin, tmax, meta.n_sph)
         occ = occ | jnp.any(valid_s, axis=1)
     return occ

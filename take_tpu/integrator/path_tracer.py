@@ -147,7 +147,8 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
         u_lobe = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LOBE_SELECT))
         ub1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U1))
         ub2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U2))
-        dir_out, bpdf = bsdf_sample(scene, sp, dir_in, u_lobe, ub1, ub2)
+        ub3 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_AUX))
+        dir_out, bpdf = bsdf_sample(scene, sp, dir_in, u_lobe, ub1, ub2, ub3)
         FG = bsdf_eval(scene, sp, dir_in, dir_out, sample_pdf=bpdf)
         dir_out = normalize(dir_out, eps=1e-30)
         sample_ok = bpdf > 0.0

@@ -73,16 +73,21 @@ class ShadePoint(NamedTuple):
     sheen_tint: jnp.ndarray
     clearcoat: jnp.ndarray
     clearcoat_gloss: jnp.ndarray
+    front: jnp.ndarray  # [N] bool, ray arrived on the outward side (glass eta)
 
 
 def make_shade_point(scene: Scene, hit) -> ShadePoint:
     """Gather material parameters + evaluate textures for a Hit batch."""
     m = scene.materials
     mid = hit.mat_id
+    front = (
+        hit.front if hit.front is not None else jnp.ones(mid.shape, bool)
+    )
     return ShadePoint(
         tag=m.tag[mid],
         geo_n=hit.geo_n,
         sh_n=hit.sh_n,
+        front=front,
         refl=eval_reflectance(scene, mid, hit.uv),
         eta=m.eta[mid],
         exponent=m.exponent[mid],
@@ -372,11 +377,14 @@ def _zero3_like(d):
     return jnp.zeros_like(d)
 
 
-def bsdf_sample(scene: Scene, sp: ShadePoint, dir_in, u_lobe, u1, u2, disney_mode="full"):
+def bsdf_sample(scene: Scene, sp: ShadePoint, dir_in, u_lobe, u1, u2, u3=None,
+                disney_mode="full"):
     """Sample an outgoing direction per ray. Returns (dir_out [N,3], pdf [N]).
 
     pdf == 0 encodes an invalid/rejected sample. Mirrors sample_bsdf
-    (material.cpp:76-82 + per-material .inl).
+    (material.cpp:76-82 + per-material .inl). u3 is an extra uniform for
+    multi-lobe Disney sampling (reflect/refract choice inside the glass
+    lobe of the composite).
     """
     from take_tpu.materials import disney
 
@@ -393,7 +401,7 @@ def bsdf_sample(scene: Scene, sp: ShadePoint, dir_in, u_lobe, u1, u2, disney_mod
         elif tag in (MAT_BLINN_PHONG, MAT_BLINN_PHONG_MICROFACET):
             d, p = _blinn_phong_sample(sp, dir_in, u1, u2)
         elif disney_mode == "full" and tag in disney.FULL_SAMPLE_TAGS:
-            d, p = disney.sample(tag, sp, dir_in, u_lobe, u1, u2)
+            d, p = disney.sample(tag, sp, dir_in, u_lobe, u1, u2, u3)
         else:  # Diffuse, DisneyDiffuse, and reference-stubbed Disney lobes
             d, p = _cosine_sample(sp, dir_in, u1, u2)
         m = (sp.tag == tag)[..., None]

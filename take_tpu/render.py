@@ -39,7 +39,7 @@ def _trace_fn(options: RenderOptions):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("options", "width", "height", "n_samples")
+    jax.jit, static_argnames=("options", "width", "n_samples")
 )
 def render_pass(
     scene: Scene,
@@ -47,10 +47,13 @@ def render_pass(
     pixel_idx,
     sample0,
     width: int,
-    height: int,
     n_samples: int,
 ):
     """Render `n_samples` consecutive samples for a batch of pixels.
+
+    Samples are FLATTENED into the path axis (one launch of
+    P * n_samples paths — big batches keep the TPU busy), then summed back
+    per pixel.
 
     Args:
         pixel_idx: [P] linearized pixel index (y * width + x).
@@ -60,20 +63,20 @@ def render_pass(
     """
     cam = scene.meta.camera
     trace = _trace_fn(options)
+    P = pixel_idx.shape[0]
 
-    px = (pixel_idx % width).astype(jnp.float32)
-    py = (pixel_idx // width).astype(jnp.float32)
-
-    def one_sample(s, acc):
-        sample_idx = sample0 + s
-        streams = rng.make_stream(options.seed, pixel_idx, sample_idx)
-        jx = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_X))
-        jy = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_Y))
-        ro, rd = generate_rays(cam, px, py, jx, jy)
-        return acc + trace(scene, options, ro, rd, streams)
-
-    acc = jnp.zeros((pixel_idx.shape[0], 3), jnp.float32)
-    return jax.lax.fori_loop(0, n_samples, one_sample, acc, unroll=False)
+    pix = jnp.tile(pixel_idx, n_samples)  # [P * k]
+    samp = sample0 + jnp.repeat(
+        jnp.arange(n_samples, dtype=jnp.int32), P, total_repeat_length=P * n_samples
+    )
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+    streams = rng.make_stream(options.seed, pix, samp)
+    jx = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_X))
+    jy = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_Y))
+    ro, rd = generate_rays(cam, px, py, jx, jy)
+    radiance = trace(scene, options, ro, rd, streams)
+    return jnp.sum(radiance.reshape(n_samples, P, 3), axis=0)
 
 
 def render_image(scene: Scene, options: RenderOptions = RenderOptions(),
@@ -84,7 +87,7 @@ def render_image(scene: Scene, options: RenderOptions = RenderOptions(),
     W, H = cam.width, cam.height
     n_pixels = W * H
 
-    # choose pass shape: all pixels x k samples, k >= 1
+    # pass shape: row-band of pixels x k samples, k * band <= max_rays_per_pass
     k = max(1, min(options.spp, options.max_rays_per_pass // max(n_pixels, 1)))
     pixel_rows_per_band = max(1, options.max_rays_per_pass // (W * k))
     acc = jnp.zeros((n_pixels, 3), jnp.float32)
@@ -104,7 +107,7 @@ def render_image(scene: Scene, options: RenderOptions = RenderOptions(),
         while s < options.spp:
             ns = min(k, options.spp - s)
             band_acc = band_acc + render_pass(
-                scene, options, pix, jnp.int32(s), W, H, ns
+                scene, options, pix, jnp.int32(s), W, ns
             )
             s += ns
             n_passes += 1

@@ -47,6 +47,89 @@ class _Mat:
     clearcoat_gloss: float = 1.0
 
 
+def _pack_triangles(np_tri, Tpad, f, i32):
+    """Build device triangle tables + MXU-packed intersection operands
+    (geometry/intersect.py) from host numpy columns."""
+    geometry_tri = {
+        k: (i32(v) if k in ("tri_mat", "tri_light", "tri_flags") else f(v))
+        for k, v in np_tri.items()
+    }
+    v0 = np_tri["tri_v0"]
+    e1 = np_tri["tri_e1"]
+    e2 = np_tri["tri_e2"]
+    nrm = np.cross(e1, e2)
+    basis = np.stack([e1, e2, nrm], axis=-1)  # [T, 3, 3] columns
+    det = np.linalg.det(basis)
+    ok = np.abs(det) > 1e-18
+    safe = np.where(ok[:, None, None], basis, np.eye(3)[None])
+    Minv = np.linalg.inv(safe) * ok[:, None, None]  # [T, 3, 3]
+    # axis-major packing: column j = k * Tpad + t holds row k of tri t
+    aff_o = np.zeros((4, 3 * Tpad))
+    aff_d = np.zeros((3, 3 * Tpad))
+    for k in range(3):
+        cols = slice(k * Tpad, (k + 1) * Tpad)
+        aff_d[:, cols] = Minv[:, k, :].T  # [3, T]
+        aff_o[:3, cols] = Minv[:, k, :].T
+        aff_o[3, cols] = -np.einsum("tj,tj->t", Minv[:, k, :], v0)
+    nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    geo_n = nrm / np.where(nlen > 0, nlen, 1.0)
+    attr = np.zeros((Tpad, T.ATTR_DIM))
+    attr[:, T.ATTR_GEO_N : T.ATTR_GEO_N + 3] = geo_n
+    attr[:, T.ATTR_N0 : T.ATTR_N0 + 3] = np_tri["tri_n0"]
+    attr[:, T.ATTR_N1 : T.ATTR_N1 + 3] = np_tri["tri_n1"]
+    attr[:, T.ATTR_N2 : T.ATTR_N2 + 3] = np_tri["tri_n2"]
+    attr[:, T.ATTR_UV0 : T.ATTR_UV0 + 2] = np_tri["tri_uv0"]
+    attr[:, T.ATTR_UV1 : T.ATTR_UV1 + 2] = np_tri["tri_uv1"]
+    attr[:, T.ATTR_UV2 : T.ATTR_UV2 + 2] = np_tri["tri_uv2"]
+    attr[:, T.ATTR_MAT] = np_tri["tri_mat"]
+    attr[:, T.ATTR_LIGHT] = np_tri["tri_light"]
+    attr[:, T.ATTR_FLAGS] = np_tri["tri_flags"]
+    geometry_tri["tri_affine_o"] = f(aff_o)
+    geometry_tri["tri_affine_d"] = f(aff_d)
+    geometry_tri["tri_attr"] = f(attr)
+    return geometry_tri
+
+
+def repack_triangles(scene, order):
+    """Reorder the first n_tri triangles by `order` (BVH leaf clustering) and
+    rebuild the packed tables; remaps light.shape_idx accordingly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    g = scene.geometry
+    n_tri = scene.meta.n_tri
+    Tpad = np.asarray(g.tri_attr).shape[0]
+    perm = np.arange(Tpad)
+    perm[:n_tri] = np.asarray(order)
+    inv = np.empty(Tpad, np.int64)
+    inv[perm] = np.arange(Tpad)
+
+    np_tri = {}
+    for k in (
+        "tri_v0", "tri_e1", "tri_e2", "tri_n0", "tri_n1", "tri_n2",
+        "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat", "tri_light", "tri_flags",
+    ):
+        np_tri[k] = np.asarray(getattr(g, k), np.float64)[perm] if k not in (
+            "tri_mat", "tri_light", "tri_flags"
+        ) else np.asarray(getattr(g, k))[perm]
+
+    f = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
+    i32 = lambda x: jnp.asarray(np.asarray(x), jnp.int32)
+    geometry_tri = _pack_triangles(np_tri, Tpad, f, i32)
+    geometry = dataclasses.replace(g, **geometry_tri)
+
+    # remap area-light shape references into the new triangle order
+    L = scene.lights
+    shape_idx = np.asarray(L.shape_idx).copy()
+    is_tri_light = (np.asarray(L.tag) == T.LIGHT_AREA) & (
+        np.asarray(L.shape_kind) == T.SHAPE_TRI
+    )
+    shape_idx[is_tri_light] = inv[shape_idx[is_tri_light]]
+    lights = dataclasses.replace(L, shape_idx=i32(shape_idx))
+    return dataclasses.replace(scene, geometry=geometry, lights=lights)
+
+
 class SceneBuilder:
     """Accumulates scene content host-side; `.build()` freezes to a Scene."""
 
@@ -175,26 +258,45 @@ class SceneBuilder:
         n_lights = len(self._lights)
         n_tex = len(self._textures)
 
-        # --- geometry (pad empty tables to 1 inert entry) ---
+        def pad_rows(a, n_target):
+            a = np.asarray(a, np.float64)
+            if a.ndim == 1:
+                a = a[:, None]
+            out = np.zeros((n_target,) + a.shape[1:], a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        def pad_int(a, n_target, fill=0):
+            out = np.full(n_target, fill, np.int64)
+            out[: len(a)] = a
+            return out
+
+        # --- geometry ---
+        # Triangle/sphere tables pad to a multiple of 128 so the primitive
+        # axis fills TPU vector lanes in the [N, T] brute-force sweep
+        # (geometry/intersect.py); inert rows are masked by meta.n_tri/n_sph.
+        Tpad = max(128, -(-n_tri // 128) * 128)
         if n_tri:
             cols = list(zip(*self._tris))
-            tri = T.GeometryArrays(
-                tri_v0=f(cols[0]), tri_e1=f(cols[1]), tri_e2=f(cols[2]),
-                tri_n0=f(cols[3]), tri_n1=f(cols[4]), tri_n2=f(cols[5]),
-                tri_uv0=f(cols[6]), tri_uv1=f(cols[7]), tri_uv2=f(cols[8]),
-                tri_mat=i32(cols[9]), tri_light=i32(cols[10]),
-                tri_flags=i32(cols[11]),
-                sph_center=None, sph_radius=None, sph_mat=None, sph_light=None,
-            )
         else:
-            z3, z2 = np.zeros((1, 3)), np.zeros((1, 2))
-            tri = T.GeometryArrays(
-                tri_v0=f(z3), tri_e1=f(z3), tri_e2=f(z3),
-                tri_n0=f(z3), tri_n1=f(z3), tri_n2=f(z3),
-                tri_uv0=f(z2), tri_uv1=f(z2), tri_uv2=f(z2),
-                tri_mat=i32([0]), tri_light=i32([-1]), tri_flags=i32([0]),
-                sph_center=None, sph_radius=None, sph_mat=None, sph_light=None,
-            )
+            cols = [[np.zeros(3)]] * 6 + [[np.zeros(2)]] * 3 + [[0], [-1], [0]]
+        np_tri = dict(
+            tri_v0=pad_rows(np.stack(cols[0]), Tpad),
+            tri_e1=pad_rows(np.stack(cols[1]), Tpad),
+            tri_e2=pad_rows(np.stack(cols[2]), Tpad),
+            tri_n0=pad_rows(np.stack(cols[3]), Tpad),
+            tri_n1=pad_rows(np.stack(cols[4]), Tpad),
+            tri_n2=pad_rows(np.stack(cols[5]), Tpad),
+            tri_uv0=pad_rows(np.stack(cols[6]), Tpad),
+            tri_uv1=pad_rows(np.stack(cols[7]), Tpad),
+            tri_uv2=pad_rows(np.stack(cols[8]), Tpad),
+            tri_mat=pad_int(cols[9], Tpad),
+            tri_light=pad_int(cols[10], Tpad, fill=-1),
+            tri_flags=pad_int(cols[11], Tpad),
+        )
+        geometry_tri = _pack_triangles(np_tri, Tpad, f, i32)
+
+        Spad = max(8, -(-max(n_sph, 1) // 8) * 8)
         if n_sph:
             sc = np.stack([s[0] for s in self._spheres])
             sr = np.array([s[1] for s in self._spheres])
@@ -204,12 +306,11 @@ class SceneBuilder:
             sc, sr = np.zeros((1, 3)), np.array([-1.0])
             sm, sl = np.array([0]), np.array([-1])
         geometry = T.GeometryArrays(
-            tri_v0=tri.tri_v0, tri_e1=tri.tri_e1, tri_e2=tri.tri_e2,
-            tri_n0=tri.tri_n0, tri_n1=tri.tri_n1, tri_n2=tri.tri_n2,
-            tri_uv0=tri.tri_uv0, tri_uv1=tri.tri_uv1, tri_uv2=tri.tri_uv2,
-            tri_mat=tri.tri_mat, tri_light=tri.tri_light,
-            tri_flags=tri.tri_flags,
-            sph_center=f(sc), sph_radius=f(sr), sph_mat=i32(sm), sph_light=i32(sl),
+            **geometry_tri,
+            sph_center=f(pad_rows(sc, Spad)),
+            sph_radius=f(pad_rows(sr, Spad)[:, 0]),
+            sph_mat=i32(pad_int(sm, Spad)),
+            sph_light=i32(pad_int(sl, Spad, fill=-1)),
         )
 
         # --- materials ---

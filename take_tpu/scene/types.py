@@ -94,6 +94,13 @@ class GeometryArrays:
     tri_mat: Any  # [T] int32
     tri_light: Any  # [T] int32, -1 if not emissive
     tri_flags: Any  # [T] int32
+    # MXU-packed intersection operands (see geometry/intersect.py):
+    # affine maps into per-triangle (u, v, w) frames, axis-major layout so
+    # [N,4] @ tri_affine_o yields contiguous [N, :T]=u / [N, T:2T]=v /
+    # [N, 2T:]=w slices.
+    tri_affine_o: Any  # [4, 3T]  homogeneous origin map
+    tri_affine_d: Any  # [3, 3T]  direction map
+    tri_attr: Any  # [T, ATTR_DIM] packed shading attributes
     sph_center: Any  # [S, 3]
     sph_radius: Any  # [S]
     sph_mat: Any  # [S] int32
@@ -266,9 +273,28 @@ jax.tree_util.register_dataclass(
 TRI_HAS_NORMALS = 1
 TRI_HAS_UV = 2
 
+# tri_attr packed layout (f32 columns; ids are exact below 2^24)
+ATTR_GEO_N = 0  # 0:3   unit geometric normal (unflipped)
+ATTR_N0 = 3  # 3:6
+ATTR_N1 = 6  # 6:9
+ATTR_N2 = 9  # 9:12
+ATTR_UV0 = 12  # 12:14
+ATTR_UV1 = 14  # 14:16
+ATTR_UV2 = 16  # 16:18
+ATTR_MAT = 18
+ATTR_LIGHT = 19
+ATTR_FLAGS = 20
+ATTR_DIM = 24  # padded to a multiple of 8
+
 
 class Hit(NamedTuple):
-    """Batched intersection record (intersection.h) as SoA."""
+    """Batched intersection record (intersection.h) as SoA.
+
+    `front` preserves which side of the (unflipped) geometric normal the ray
+    arrived from — the reference destroys this by always ray-flipping the
+    normal (shape.cpp:35,84), which is why its glass lobes could never work;
+    refraction needs it for the eta orientation.
+    """
 
     valid: Any  # [N] bool
     t: Any  # [N]
@@ -278,3 +304,4 @@ class Hit(NamedTuple):
     uv: Any  # [N, 2]
     mat_id: Any  # [N] int32
     light_id: Any  # [N] int32 (-1 = not an emitter)
+    front: Any = None  # [N] bool: ray hit the outward-facing side
