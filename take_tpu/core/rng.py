@@ -86,7 +86,7 @@ def uniform(stream, counter, dtype=jnp.float32):
 
 # Logical dimension allocation per bounce. The integrator draws at most
 # DIMS_PER_BOUNCE uniforms per path per bounce; counters never collide.
-DIMS_PER_BOUNCE = 8
+DIMS_PER_BOUNCE = 10
 
 DIM_LIGHT_SELECT = 0   # which light (uniform or power CDF pick)
 DIM_LIGHT_U1 = 1       # light surface sample
@@ -95,7 +95,9 @@ DIM_LOBE_SELECT = 3    # plastic specular/diffuse pick, one-sample-MIS pick
 DIM_BSDF_U1 = 4        # bsdf direction sample
 DIM_BSDF_U2 = 5
 DIM_MIS_TECH = 6       # one-sample MIS technique selection
-DIM_AUX = 7
+DIM_AUX = 7            # glass reflect/refract pick inside composite lobes
+DIM_ENV_U3 = 8         # env-map alias-table jitter
+DIM_RESERVED = 9
 
 # Camera jitter uses bounce slot -1 (i.e. counters 0..DIMS_PER_BOUNCE-1 are
 # reserved by using bounce+1 in bounce_counter).

@@ -79,6 +79,8 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
         [N, 3] radiance.
     """
     n_lights = scene.meta.n_lights
+    # env map participates in NEE as one extra light-selection slot
+    n_slots = n_lights + (1 if scene.meta.has_envmap else 0)
     eps = jnp.asarray(config.C_EPSILON, ro.dtype)
     inf = jnp.asarray(jnp.inf, ro.dtype)
     N = ro.shape[0]
@@ -102,44 +104,74 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
         spec = is_specular(sp)
 
         # ---------------- NEE branch (path_tracing.h:30-60) ----------------
+        # The env map joins the light list as one extra uniform-selection
+        # slot (capability extension: the reference has no env light).
         C1 = jnp.zeros_like(radiance)
-        if n_lights > 0:
+        if n_slots > 0:
             u_sel = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_SELECT))
             u1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U1))
             u2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U2))
-            light_id = select_uniform(scene, u_sel)
-            ls = sample_on_light(scene, light_id, hit.pos, u1, u2)
-            delta = ls.position - hit.pos
-            d = jnp.linalg.norm(delta, axis=-1)
-            light_dir = delta / jnp.maximum(d, 1e-30)[:, None]
+            slot = jnp.clip((u_sel * n_slots).astype(jnp.int32), 0, n_slots - 1)
+
+            if n_lights > 0:
+                light_id = jnp.clip(slot, 0, n_lights - 1)
+                ls = sample_on_light(scene, light_id, hit.pos, u1, u2)
+                delta = ls.position - hit.pos
+                d = jnp.linalg.norm(delta, axis=-1)
+                light_dir = delta / jnp.maximum(d, 1e-30)[:, None]
+                tmax_shadow = (1.0 - 1e-3) * d
+            else:
+                d = jnp.ones(N)
+                light_dir = rd
+                tmax_shadow = jnp.full(N, jnp.inf)
+
+            if scene.meta.has_envmap:
+                from take_tpu.lights.envmap import envmap_eval, envmap_sample
+
+                u3 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_ENV_U3))
+                env_dir, env_pdf = envmap_sample(scene.envmap, u1, u2, u3)
+                is_env = slot == n_lights
+                light_dir = jnp.where(is_env[:, None], env_dir, light_dir)
+                tmax_shadow = jnp.where(is_env, jnp.inf, tmax_shadow)
+            else:
+                is_env = jnp.zeros(N, bool)
 
             # Occlusion: tmax = (1 - eps) * d (path_tracing.h:53-54); origin
             # offset off the surface to avoid f32 self-shadowing
             shadow_o = offset_origin(hit.pos, hit.geo_n, light_dir)
             shadow_occ = occluded(
-                scene, shadow_o, light_dir, jnp.full(N, eps), (1.0 - 1e-3) * d
+                scene, shadow_o, light_dir, jnp.full(N, eps), tmax_shadow
             )
             FG = bsdf_eval(scene, sp, dir_in, light_dir)
+            bp = bsdf_pdf(scene, sp, dir_in, light_dir)
 
             if scene.meta.has_area_lights:
                 cos_l = jnp.maximum(dot(-ls.normal, light_dir), 0.0)
                 apdf = area_pdf(scene, light_id, ls.position, hit.pos)
                 # solid-angle light pdf (path_tracing.h:39); cos_l == 0 lanes
                 # correspond to the reference's +inf pdf => contribution skipped
-                lp = safe_div(apdf * d * d, cos_l * n_lights, 0.0)
-                bp = bsdf_pdf(scene, sp, dir_in, light_dir)
+                lp = safe_div(apdf * d * d, cos_l * n_slots, 0.0)
                 w = safe_div(lp, lp * lp + bp * bp, 0.0)  # power heuristic /lp
-                ok = ls.is_area & (bp > 0.0) & (cos_l > 0.0) & (~shadow_occ)
+                ok = (
+                    (~is_env) & ls.is_area & (bp > 0.0) & (cos_l > 0.0)
+                    & (~shadow_occ)
+                )
                 C1_area = FG * ls.intensity * jnp.where(ok, w, 0.0)[:, None]
                 C1 = C1 + C1_area
             if scene.meta.has_point_lights:
                 # delta light: estimator I/d^2 / pmf_select, no MIS partner
                 inv_d2 = safe_div(jnp.ones_like(d), d * d, 0.0)
-                okp = (~ls.is_area) & (~shadow_occ)
+                okp = (~is_env) & (~ls.is_area) & (~shadow_occ)
                 C1_pt = FG * ls.intensity * jnp.where(
-                    okp, inv_d2 * n_lights, 0.0
+                    okp, inv_d2 * n_slots, 0.0
                 )[:, None]
                 C1 = C1 + C1_pt
+            if scene.meta.has_envmap:
+                Li_env = envmap_eval(scene.envmap, light_dir)
+                lp_env = env_pdf / n_slots
+                w_env = safe_div(lp_env, lp_env * lp_env + bp * bp, 0.0)
+                ok_env = is_env & (bp > 0.0) & (env_pdf > 0.0) & (~shadow_occ)
+                C1 = C1 + FG * Li_env * jnp.where(ok_env, w_env, 0.0)[:, None]
             C1 = jnp.where((spec | ~active)[:, None], 0.0, C1)
         radiance = radiance + throughput * C1
 
@@ -158,12 +190,24 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
 
         contrib = safe_div(FG, bpdf[:, None], 0.0)  # FG / bsdf_pdf
 
-        # miss -> background, terminate (path_tracing.h:82-87)
+        # miss -> background (path_tracing.h:82-87). With an env light the
+        # escape direction is MIS-weighted against the NEE env technique;
+        # flat background keeps the reference's full-credit semantics.
         miss = sample_ok & ~new_hit.valid
+        if scene.meta.has_envmap:
+            from take_tpu.lights.envmap import envmap_pdf
+
+            lp_env = envmap_pdf(scene.envmap, dir_out) / n_slots
+            w_env_bs = jnp.where(
+                spec,
+                safe_div(jnp.ones_like(bpdf), bpdf, 0.0),
+                safe_div(bpdf, lp_env * lp_env + bpdf * bpdf, 0.0),
+            )
+            miss_radiance = FG * _background(scene, dir_out) * w_env_bs[:, None]
+        else:
+            miss_radiance = contrib * _background(scene, dir_out)
         radiance = radiance + jnp.where(
-            (active & miss)[:, None],
-            throughput * contrib * _background(scene, dir_out),
-            0.0,
+            (active & miss)[:, None], throughput * miss_radiance, 0.0
         )
 
         # emitter hit -> C2 with power-heuristic weight (path_tracing.h:88-100)
@@ -176,7 +220,7 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
             # light_dir == dir_out (the reference recomputes it; identical)
             cos_l = jnp.maximum(dot(-new_hit.geo_n, dir_out), 0.0)
             apdf = area_pdf(scene, lid, new_hit.pos, hit.pos)
-            lp = safe_div(apdf * d2 * d2, cos_l * n_lights, 0.0)
+            lp = safe_div(apdf * d2 * d2, cos_l * n_slots, 0.0)
             w = jnp.where(
                 spec,
                 safe_div(jnp.ones_like(bpdf), bpdf, 0.0),

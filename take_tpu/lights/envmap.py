@@ -49,9 +49,22 @@ def build_envmap(data: np.ndarray, to_world4=None, scale=1.0) -> EnvMap:
     lum = (
         data[..., 0] * 0.212671 + data[..., 1] * 0.715160 + data[..., 2] * 0.072169
     )
+    # Cover the bilinear reconstruction footprint: a bright texel's filtered
+    # radiance spills into its 8 neighbors, so importance-sample from the
+    # 3x3-dilated luminance — keeps L/pdf bounded (low variance) while the
+    # estimator stays unbiased for any pdf > 0 where L > 0.
+    lum_pad = np.pad(lum, ((1, 1), (0, 0)), mode="edge")
+    lum_pad = np.concatenate(
+        [lum_pad[:, -1:], lum_pad, lum_pad[:, :1]], axis=1
+    )  # wrap in phi, clamp in theta
+    spread = sum(
+        lum_pad[dy : dy + H, dx : dx + W]
+        for dy in range(3)
+        for dx in range(3)
+    ) / 9.0
     theta = (np.arange(H) + 0.5) / H * np.pi
     sin_t = np.sin(theta)
-    weights = (lum * sin_t[:, None]).ravel()
+    weights = (spread * sin_t[:, None]).ravel()
     prob, alias = build_alias_table(weights)
 
     # per-texel solid-angle pdf: p_texel / omega_texel,
