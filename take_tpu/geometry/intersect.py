@@ -25,8 +25,10 @@ import jax.numpy as jnp
 
 from take_tpu.core.math import C_PI, C_TWOPI, normalize
 from take_tpu.scene.types import (
+    ATTR_EMIT,
     ATTR_FLAGS,
     ATTR_GEO_N,
+    ATTR_INV_AREA,
     ATTR_LIGHT,
     ATTR_MAT,
     ATTR_N0,
@@ -35,6 +37,11 @@ from take_tpu.scene.types import (
     ATTR_UV0,
     ATTR_UV1,
     ATTR_UV2,
+    SATTR_CENTER,
+    SATTR_EMIT,
+    SATTR_LIGHT,
+    SATTR_MAT,
+    SATTR_RADIUS,
     Hit,
     Scene,
     TRI_HAS_NORMALS,
@@ -66,12 +73,17 @@ def _tri_uvt(g, ro, rd, tmin, tmax, n_tri):
     # Precision.HIGHEST: TPU f32 matmuls default to single-pass bf16, whose
     # ~8-bit mantissa is catastrophic for world-space intersection at scene
     # scale. K is 3/4 so the full-precision passes cost nothing.
+    # stop_gradient: geometry/visibility derivatives are out of scope
+    # (north star: continuous material/texture/light parameters only) and
+    # backprop through padded-degenerate rows produces NaN.
+    aff_o = jax.lax.stop_gradient(g.tri_affine_o)
+    aff_d = jax.lax.stop_gradient(g.tri_affine_d)
     s = jnp.dot(
-        oh, g.tri_affine_o, preferred_element_type=dt,
+        oh, aff_o, preferred_element_type=dt,
         precision=jax.lax.Precision.HIGHEST,
     )  # [N, 3T]
     dd = jnp.dot(
-        rd, g.tri_affine_d, preferred_element_type=dt,
+        rd, aff_d, preferred_element_type=dt,
         precision=jax.lax.Precision.HIGHEST,
     )  # [N, 3T]
     su, sv, sw = s[:, :T], s[:, T : 2 * T], s[:, 2 * T :]
@@ -171,11 +183,26 @@ def _brute_force_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
 
         # winner attributes via one-hot @ attribute-table (MXU) — no gathers.
         # HIGHEST precision: attribute columns carry ids/flags that bf16
-        # passes would round.
+        # passes would round. Geometry columns are stop-gradded; the EMIT
+        # slice stays differentiable (emission gradients flow through it).
         onehot = (jnp.arange(T)[None, :] == best_tri[:, None]).astype(ro.dtype)
         attrs = jnp.dot(
-            onehot, g.tri_attr, preferred_element_type=ro.dtype,
+            onehot, jax.lax.stop_gradient(g.tri_attr),
+            preferred_element_type=ro.dtype,
             precision=jax.lax.Precision.HIGHEST,
+        )
+        emit_d = jnp.dot(
+            onehot, g.tri_attr[:, ATTR_EMIT : ATTR_EMIT + 3],
+            preferred_element_type=ro.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        attrs = jnp.concatenate(
+            [
+                attrs[:, :ATTR_EMIT],
+                emit_d,
+                attrs[:, ATTR_EMIT + 3 :],
+            ],
+            axis=1,
         )
         u_best = jnp.sum(u * onehot, axis=1)
         v_best = jnp.sum(v * onehot, axis=1)
@@ -209,22 +236,22 @@ def _brute_force_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
     if meta.n_sph > 0:
         hit_sph = shade_sphere_hit(g, best_sph, ro, rd, t_safe)
         sel = use_sph[:, None]
-        pos = jnp.where(sel, hit_sph.pos, hit_tri.pos)
-        geo_n = jnp.where(sel, hit_sph.geo_n, hit_tri.geo_n)
-        sh_n = jnp.where(sel, hit_sph.sh_n, hit_tri.sh_n)
-        uv = jnp.where(sel, hit_sph.uv, hit_tri.uv)
-        mat_id = jnp.where(use_sph, hit_sph.mat_id, hit_tri.mat_id)
-        light_id = jnp.where(use_sph, hit_sph.light_id, hit_tri.light_id)
-        front = jnp.where(use_sph, hit_sph.front, hit_tri.front)
-    else:
-        pos, geo_n, sh_n = hit_tri.pos, hit_tri.geo_n, hit_tri.sh_n
-        uv, mat_id, light_id = hit_tri.uv, hit_tri.mat_id, hit_tri.light_id
-        front = hit_tri.front
-
-    return Hit(
-        valid=valid, t=t, pos=pos, geo_n=geo_n, sh_n=sh_n, uv=uv,
-        mat_id=mat_id, light_id=light_id, front=front,
-    )
+        return Hit(
+            valid=valid,
+            t=t,
+            pos=jnp.where(sel, hit_sph.pos, hit_tri.pos),
+            geo_n=jnp.where(sel, hit_sph.geo_n, hit_tri.geo_n),
+            sh_n=jnp.where(sel, hit_sph.sh_n, hit_tri.sh_n),
+            uv=jnp.where(sel, hit_sph.uv, hit_tri.uv),
+            mat_id=jnp.where(use_sph, hit_sph.mat_id, hit_tri.mat_id),
+            light_id=jnp.where(use_sph, hit_sph.light_id, hit_tri.light_id),
+            front=jnp.where(use_sph, hit_sph.front, hit_tri.front),
+            emit=jnp.where(sel, hit_sph.emit, hit_tri.emit),
+            light_geom=jnp.where(
+                use_sph, hit_sph.light_geom, hit_tri.light_geom
+            ),
+        )
+    return hit_tri._replace(valid=valid, t=t)
 
 
 def shade_triangle_attrs(attrs, u, v, ro, rd, t) -> Hit:
@@ -254,24 +281,50 @@ def shade_triangle_attrs(attrs, u, v, ro, rd, t) -> Hit:
     )
     uv = jnp.where(has_uv[:, None], uv_interp, jnp.stack([u, v], axis=-1))
 
+    light_id = attrs[:, ATTR_LIGHT].astype(jnp.int32)
     return Hit(
         valid=None, t=t, pos=pos, geo_n=geo_n, sh_n=sh_n, uv=uv,
         mat_id=attrs[:, ATTR_MAT].astype(jnp.int32),
-        light_id=attrs[:, ATTR_LIGHT].astype(jnp.int32),
+        light_id=light_id,
         front=front_face[:, 0],
+        emit=attrs[:, ATTR_EMIT : ATTR_EMIT + 3],
+        light_geom=jnp.where(light_id >= 0, attrs[:, ATTR_INV_AREA], 0.0),
     )
 
 
 def shade_sphere_hit(g, idx, ro, rd, t) -> Hit:
-    center = g.sph_center[idx]
+    """Sphere hit attributes via one-hot @ sph_attr (no gathers)."""
+    S = g.sph_attr.shape[0]
+    onehot = (jnp.arange(S)[None, :] == idx[:, None]).astype(ro.dtype)
+    attrs = jnp.dot(
+        onehot, jax.lax.stop_gradient(g.sph_attr),
+        preferred_element_type=ro.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    emit_d = jnp.dot(
+        onehot, g.sph_attr[:, SATTR_EMIT : SATTR_EMIT + 3],
+        preferred_element_type=ro.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    attrs = jnp.concatenate(
+        [attrs[:, :SATTR_EMIT], emit_d, attrs[:, SATTR_EMIT + 3 :]], axis=1
+    )
+    center = attrs[:, SATTR_CENTER : SATTR_CENTER + 3]
     pos = ro + rd * t[:, None]
     n = normalize(pos - center, eps=1e-30)
     front = jnp.sum(rd * n, axis=-1, keepdims=True) < 0.0
     n_flipped = jnp.where(front, n, -n)
     uv = _sphere_uv(n_flipped)
+    light_id = attrs[:, SATTR_LIGHT].astype(jnp.int32)
     return Hit(
         valid=None, t=t, pos=pos, geo_n=n_flipped, sh_n=n_flipped, uv=uv,
-        mat_id=g.sph_mat[idx], light_id=g.sph_light[idx], front=front[:, 0],
+        mat_id=attrs[:, SATTR_MAT].astype(jnp.int32),
+        light_id=light_id,
+        front=front[:, 0],
+        emit=attrs[:, SATTR_EMIT : SATTR_EMIT + 3],
+        light_geom=jnp.where(
+            light_id >= 0, -attrs[:, SATTR_RADIUS], 0.0
+        ),
     )
 
 

@@ -213,12 +213,12 @@ def bvh_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
             mat_id=jnp.where(use_sph, hit_sph.mat_id, hit_tri.mat_id),
             light_id=jnp.where(use_sph, hit_sph.light_id, hit_tri.light_id),
             front=jnp.where(use_sph, hit_sph.front, hit_tri.front),
+            emit=jnp.where(sel, hit_sph.emit, hit_tri.emit),
+            light_geom=jnp.where(
+                use_sph, hit_sph.light_geom, hit_tri.light_geom
+            ),
         )
-    return Hit(
-        valid=valid, t=tt, pos=hit_tri.pos, geo_n=hit_tri.geo_n,
-        sh_n=hit_tri.sh_n, uv=hit_tri.uv, mat_id=hit_tri.mat_id,
-        light_id=hit_tri.light_id, front=hit_tri.front,
-    )
+    return hit_tri._replace(valid=valid, t=tt)
 
 
 def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):

@@ -28,7 +28,12 @@ from take_tpu import config
 from take_tpu.core import rng
 from take_tpu.core.math import dot, normalize, safe_div
 from take_tpu.geometry.intersect import intersect_scene, occluded
-from take_tpu.lights.lights import area_pdf, sample_on_light, select_uniform
+from take_tpu.lights.lights import (
+    area_pdf_from_hit_geom,
+    area_pdf_from_sample,
+    sample_on_light,
+    select_uniform,
+)
 from take_tpu.materials.bsdf import (
     bsdf_eval,
     bsdf_pdf,
@@ -61,11 +66,11 @@ def _background(scene: Scene, rd):
 
 
 def _emitted(scene: Scene, hit):
-    """Area-light emission carried by a hit (0 where not an emitter)."""
-    is_em = hit.light_id >= 0
-    lid = jnp.maximum(hit.light_id, 0)
-    inten = scene.lights.intensity[lid]
-    return jnp.where(is_em[:, None], inten, 0.0)
+    """Area-light emission carried by a hit (0 where not an emitter).
+
+    The Hit record carries the emitter radiance directly (packed into the
+    primitive attribute tables at build time) — no light-table gather."""
+    return hit.emit
 
 
 def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
@@ -147,7 +152,7 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
 
             if scene.meta.has_area_lights:
                 cos_l = jnp.maximum(dot(-ls.normal, light_dir), 0.0)
-                apdf = area_pdf(scene, light_id, ls.position, hit.pos)
+                apdf = area_pdf_from_sample(ls, ls.position, hit.pos)
                 # solid-angle light pdf (path_tracing.h:39); cos_l == 0 lanes
                 # correspond to the reference's +inf pdf => contribution skipped
                 lp = safe_div(apdf * d * d, cos_l * n_slots, 0.0)
@@ -211,27 +216,25 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
         )
 
         # emitter hit -> C2 with power-heuristic weight (path_tracing.h:88-100)
+        # — intensity and area pdf come from the Hit record, no gathers
         C2 = jnp.zeros_like(radiance)
         if n_lights > 0 and scene.meta.has_area_lights:
             hit_em = new_hit.valid & (new_hit.light_id >= 0)
-            lid = jnp.maximum(new_hit.light_id, 0)
-            d2v = new_hit.pos - hit.pos
-            d2 = jnp.linalg.norm(d2v, axis=-1)
+            d2 = jnp.linalg.norm(new_hit.pos - hit.pos, axis=-1)
             # light_dir == dir_out (the reference recomputes it; identical)
             cos_l = jnp.maximum(dot(-new_hit.geo_n, dir_out), 0.0)
-            apdf = area_pdf(scene, lid, new_hit.pos, hit.pos)
+            apdf = area_pdf_from_hit_geom(
+                new_hit.light_geom, new_hit.pos, hit.pos
+            )
             lp = safe_div(apdf * d2 * d2, cos_l * n_slots, 0.0)
             w = jnp.where(
                 spec,
                 safe_div(jnp.ones_like(bpdf), bpdf, 0.0),
                 safe_div(bpdf, lp * lp + bpdf * bpdf, 0.0),
             )
-            is_area_l = scene.lights.tag[lid] == 1
-            C2 = (
-                FG
-                * scene.lights.intensity[lid]
-                * jnp.where(hit_em & is_area_l & sample_ok, w, 0.0)[:, None]
-            )
+            C2 = FG * new_hit.emit * jnp.where(
+                hit_em & sample_ok, w, 0.0
+            )[:, None]
         radiance = radiance + jnp.where(active[:, None], throughput * C2, 0.0)
 
         # throughput *= FG / bsdf_pdf; advance (path_tracing.h:107-108)

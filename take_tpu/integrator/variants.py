@@ -97,7 +97,23 @@ def trace_raw(scene: Scene, options: RenderOptions, ro, rd, streams):
     return carry[4]
 
 
-def trace_one_sample_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
+def trace_one_sample_mis_power(scene, options, ro, rd, streams):
+    """One-sample MIS with power-proportional light picking
+    (path_tracing_one_sample_MIS_power, path_tracing.h:274-380).
+
+    In the reference this variant is DEAD CODE: it reads
+    scene.lights_power_pmf/cdf which nothing ever populates (scene.h:28-29
+    ⚠) and asserts at runtime. Our light table carries a real power
+    CDF/PMF (build.py), so this works; implemented as the one-sample
+    integrator with select_power + pmf-weighted light pdfs.
+    """
+    return trace_one_sample_mis(
+        scene, options, ro, rd, streams, light_select="power"
+    )
+
+
+def trace_one_sample_mis(scene: Scene, options: RenderOptions, ro, rd, streams,
+                         light_select="uniform"):
     """One-sample MIS (path_tracing.h:161-271)."""
     n_lights = scene.meta.n_lights
     eps = jnp.asarray(config.C_EPSILON, ro.dtype)
@@ -137,14 +153,22 @@ def trace_one_sample_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
             u_sel = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_SELECT))
             u1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U1))
             u2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U2))
-            light_id = select_uniform(scene, u_sel)
+            if light_select == "power":
+                from take_tpu.lights.lights import power_pmf, select_power
+
+                light_id = select_power(scene, u_sel)
+                sel_pmf = power_pmf(scene, light_id)
+            else:
+                light_id = select_uniform(scene, u_sel)
+                sel_pmf = jnp.full(N, 1.0 / n_lights)
             ls = sample_on_light(scene, light_id, hit.pos, u1, u2)
             delta = ls.position - hit.pos
             d = jnp.linalg.norm(delta, axis=-1)
             nee_dir = delta / jnp.maximum(d, 1e-30)[:, None]
             cos_l = jnp.maximum(dot(-ls.normal, nee_dir), 0.0)
             apdf = area_pdf(scene, light_id, ls.position, hit.pos)
-            lp_nee = safe_div(apdf * d * d, cos_l * n_lights, 0.0)
+            # solid-angle pdf x selection pmf (path_tracing.h:309 semantics)
+            lp_nee = safe_div(apdf * d * d * sel_pmf, cos_l, 0.0)
             bp_nee = bsdf_pdf(scene, sp, dir_in, nee_dir)
             FG_nee = bsdf_eval(scene, sp, dir_in, nee_dir)
             nee_ok = ls.is_area & (lp_nee > 0.0) & (bp_nee > 0.0)
@@ -179,7 +203,13 @@ def trace_one_sample_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
             d2 = jnp.linalg.norm(new_hit.pos - hit.pos, axis=-1)
             cos2 = jnp.maximum(dot(-new_hit.geo_n, dir_out), 0.0)
             apdf2 = area_pdf(scene, lid, new_hit.pos, hit.pos)
-            lp_bs = safe_div(apdf2 * d2 * d2, cos2 * n_lights, 0.0)
+            if light_select == "power":
+                from take_tpu.lights.lights import power_pmf
+
+                hit_pmf = power_pmf(scene, lid)
+            else:
+                hit_pmf = jnp.full(N, 1.0 / n_lights)
+            lp_bs = safe_div(apdf2 * d2 * d2 * hit_pmf, cos2, 0.0)
             is_area_l = scene.lights.tag[lid] == LIGHT_AREA
             add_lp = (~spec) & hit_em & is_area_l
             pdf_bs = jnp.where(

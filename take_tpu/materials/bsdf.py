@@ -16,6 +16,7 @@ lobes in disney.py and select via `disney_mode`.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from take_tpu.core.math import (
@@ -31,7 +32,10 @@ from take_tpu.core.math import (
     to_world,
 )
 from take_tpu.core.sampling import sample_cos_power, sample_hemisphere_cos
-from take_tpu.materials.textures import eval_reflectance
+from take_tpu.materials.textures import (
+    eval_reflectance,
+    eval_reflectance_packed,
+)
 from take_tpu.scene.types import (
     MAT_BLINN_PHONG,
     MAT_BLINN_PHONG_MICROFACET,
@@ -77,31 +81,46 @@ class ShadePoint(NamedTuple):
 
 
 def make_shade_point(scene: Scene, hit) -> ShadePoint:
-    """Gather material parameters + evaluate textures for a Hit batch."""
-    m = scene.materials
+    """Combine material parameters + evaluate textures for a Hit batch.
+
+    Parameters come from one one-hot [N, M] @ [M, MATTR_DIM] matmul over the
+    packed material table — the TPU-friendly form of the reference's
+    std::visit dispatch (no per-field gathers)."""
+    from take_tpu.scene import types as ST
+
+    A = scene.materials.attr
+    M = A.shape[0]
     mid = hit.mat_id
+    onehot = (jnp.arange(M)[None, :] == mid[:, None]).astype(A.dtype)
+    p = jnp.dot(
+        onehot, A, preferred_element_type=A.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     front = (
         hit.front if hit.front is not None else jnp.ones(mid.shape, bool)
     )
+    refl = p[:, ST.MATTR_TEX_VALUE : ST.MATTR_TEX_VALUE + 3]
+    if scene.meta.has_image_textures:
+        refl = eval_reflectance_packed(scene, p, hit.uv, refl)
     return ShadePoint(
-        tag=m.tag[mid],
+        tag=p[:, ST.MATTR_TAG].astype(jnp.int32),
         geo_n=hit.geo_n,
         sh_n=hit.sh_n,
         front=front,
-        refl=eval_reflectance(scene, mid, hit.uv),
-        eta=m.eta[mid],
-        exponent=m.exponent[mid],
-        roughness=m.roughness[mid],
-        subsurface=m.subsurface[mid],
-        anisotropic=m.anisotropic[mid],
-        metallic=m.metallic[mid],
-        spec_trans=m.spec_trans[mid],
-        specular=m.specular[mid],
-        specular_tint=m.specular_tint[mid],
-        sheen=m.sheen[mid],
-        sheen_tint=m.sheen_tint[mid],
-        clearcoat=m.clearcoat[mid],
-        clearcoat_gloss=m.clearcoat_gloss[mid],
+        refl=refl,
+        eta=p[:, ST.MATTR_ETA],
+        exponent=p[:, ST.MATTR_EXPONENT],
+        roughness=p[:, ST.MATTR_ROUGHNESS],
+        subsurface=p[:, ST.MATTR_SUBSURFACE],
+        anisotropic=p[:, ST.MATTR_ANISOTROPIC],
+        metallic=p[:, ST.MATTR_METALLIC],
+        spec_trans=p[:, ST.MATTR_SPEC_TRANS],
+        specular=p[:, ST.MATTR_SPECULAR],
+        specular_tint=p[:, ST.MATTR_SPECULAR_TINT],
+        sheen=p[:, ST.MATTR_SHEEN],
+        sheen_tint=p[:, ST.MATTR_SHEEN_TINT],
+        clearcoat=p[:, ST.MATTR_CLEARCOAT],
+        clearcoat_gloss=p[:, ST.MATTR_CLEARCOAT_GLOSS],
     )
 
 

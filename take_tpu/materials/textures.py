@@ -18,6 +18,19 @@ def _modulo1(x):
     return jnp.where(r < 0.0, r + 1.0, r)
 
 
+def eval_reflectance_packed(scene: Scene, mat_params, uv, const_val):
+    """Image-texture path of the reflectance slot, from packed material
+    params [N, MATTR_DIM] (bsdf.make_shade_point). Only called when the
+    scene has image textures; atlas fetches are genuine gathers."""
+    from take_tpu.scene import types as ST
+
+    tex_id = mat_params[:, ST.MATTR_TEX_IMAGE].astype(jnp.int32)
+    scale = mat_params[:, ST.MATTR_UVSCALE : ST.MATTR_UVSCALE + 2]
+    offset = mat_params[:, ST.MATTR_UVOFFSET : ST.MATTR_UVOFFSET + 2]
+    kind = mat_params[:, ST.MATTR_TEX_KIND].astype(jnp.int32)
+    return _bilinear_eval(scene, tex_id, scale, offset, kind, uv, const_val)
+
+
 def eval_reflectance(scene: Scene, mat_id, uv):
     """Evaluate material `mat_id`'s reflectance texture slot at uv.
 
@@ -35,6 +48,11 @@ def eval_reflectance(scene: Scene, mat_id, uv):
     tex_id = m.tex_image[mat_id]
     scale = m.tex_uvscale[mat_id]
     offset = m.tex_uvoffset[mat_id]
+    kind = m.tex_kind[mat_id]
+    return _bilinear_eval(scene, tex_id, scale, offset, kind, uv, const_val)
+
+
+def _bilinear_eval(scene, tex_id, scale, offset, kind, uv, const_val):
     w = scene.textures.width[tex_id].astype(uv.dtype)  # [N]
     h = scene.textures.height[tex_id].astype(uv.dtype)
 
@@ -72,5 +90,5 @@ def eval_reflectance(scene: Scene, mat_id, uv):
     )
     bilerp = num / denom[:, None]
 
-    is_img = (m.tex_kind[mat_id] == TEX_IMAGE)[:, None]
+    is_img = (kind == TEX_IMAGE)[:, None]
     return jnp.where(is_img, bilerp, const_val)

@@ -31,6 +31,10 @@ def _trace_fn(options: RenderOptions):
         from take_tpu.integrator.variants import trace_one_sample_mis
 
         return trace_one_sample_mis
+    if options.integrator == "one_sample_mis_power":
+        from take_tpu.integrator.variants import trace_one_sample_mis_power
+
+        return trace_one_sample_mis_power
     if options.integrator == "raw":
         from take_tpu.integrator.variants import trace_raw
 

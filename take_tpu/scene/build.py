@@ -84,9 +84,15 @@ def _pack_triangles(np_tri, Tpad, f, i32):
     attr[:, T.ATTR_MAT] = np_tri["tri_mat"]
     attr[:, T.ATTR_LIGHT] = np_tri["tri_light"]
     attr[:, T.ATTR_FLAGS] = np_tri["tri_flags"]
+    attr[:, T.ATTR_EMIT : T.ATTR_EMIT + 3] = np_tri.get(
+        "tri_emit", np.zeros((Tpad, 3))
+    )
+    area = 0.5 * np.linalg.norm(nrm, axis=-1)
+    attr[:, T.ATTR_INV_AREA] = np.where(area > 0, 1.0 / np.maximum(area, 1e-30), 0.0)
     geometry_tri["tri_affine_o"] = f(aff_o)
     geometry_tri["tri_affine_d"] = f(aff_d)
     geometry_tri["tri_attr"] = f(attr)
+    geometry_tri.pop("tri_emit", None)
     return geometry_tri
 
 
@@ -113,6 +119,9 @@ def repack_triangles(scene, order):
         np_tri[k] = np.asarray(getattr(g, k), np.float64)[perm] if k not in (
             "tri_mat", "tri_light", "tri_flags"
         ) else np.asarray(getattr(g, k))[perm]
+    np_tri["tri_emit"] = np.asarray(g.tri_attr, np.float64)[
+        :, T.ATTR_EMIT : T.ATTR_EMIT + 3
+    ][perm]
 
     f = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
     i32 = lambda x: jnp.asarray(np.asarray(x), jnp.int32)
@@ -294,6 +303,12 @@ class SceneBuilder:
             tri_light=pad_int(cols[10], Tpad, fill=-1),
             tri_flags=pad_int(cols[11], Tpad),
         )
+        emit = np.zeros((Tpad, 3))
+        for t_idx, tri in enumerate(self._tris):
+            lid = tri[10]
+            if lid >= 0:
+                emit[t_idx] = self._lights[lid]["intensity"]
+        np_tri["tri_emit"] = emit
         geometry_tri = _pack_triangles(np_tri, Tpad, f, i32)
 
         Spad = max(8, -(-max(n_sph, 1) // 8) * 8)
@@ -305,17 +320,52 @@ class SceneBuilder:
         else:
             sc, sr = np.zeros((1, 3)), np.array([-1.0])
             sm, sl = np.array([0]), np.array([-1])
+        sph_attr = np.zeros((Spad, T.SATTR_DIM))
+        sph_attr[:, T.SATTR_CENTER : T.SATTR_CENTER + 3] = pad_rows(sc, Spad)
+        sph_attr[:, T.SATTR_RADIUS] = pad_rows(sr, Spad)[:, 0]
+        sph_attr[:, T.SATTR_MAT] = pad_int(sm, Spad)
+        sph_attr[:, T.SATTR_LIGHT] = pad_int(sl, Spad, fill=-1)
+        for s_idx, s in enumerate(self._spheres):
+            if s[3] >= 0:
+                sph_attr[s_idx, T.SATTR_EMIT : T.SATTR_EMIT + 3] = self._lights[
+                    s[3]
+                ]["intensity"]
         geometry = T.GeometryArrays(
             **geometry_tri,
             sph_center=f(pad_rows(sc, Spad)),
             sph_radius=f(pad_rows(sr, Spad)[:, 0]),
             sph_mat=i32(pad_int(sm, Spad)),
             sph_light=i32(pad_int(sl, Spad, fill=-1)),
+            sph_attr=f(sph_attr),
         )
 
         # --- materials ---
         mats = self._materials or [_Mat(tag=T.MAT_DIFFUSE)]
+        Mpad = max(8, -(-len(mats) // 8) * 8)
+        mat_attr = np.zeros((Mpad, T.MATTR_DIM))
+        for k, m in enumerate(mats):
+            mat_attr[k, T.MATTR_TAG] = m.tag
+            mat_attr[k, T.MATTR_TEX_KIND] = m.tex_kind
+            mat_attr[k, T.MATTR_TEX_IMAGE] = m.tex_image
+            mat_attr[k, T.MATTR_UVSCALE : T.MATTR_UVSCALE + 2] = m.tex_uvscale
+            mat_attr[k, T.MATTR_UVOFFSET : T.MATTR_UVOFFSET + 2] = m.tex_uvoffset
+            mat_attr[k, T.MATTR_TEX_VALUE : T.MATTR_TEX_VALUE + 3] = m.tex_value
+            for col, name in (
+                (T.MATTR_ETA, "eta"), (T.MATTR_EXPONENT, "exponent"),
+                (T.MATTR_ROUGHNESS, "roughness"),
+                (T.MATTR_SUBSURFACE, "subsurface"),
+                (T.MATTR_ANISOTROPIC, "anisotropic"),
+                (T.MATTR_METALLIC, "metallic"),
+                (T.MATTR_SPEC_TRANS, "spec_trans"),
+                (T.MATTR_SPECULAR, "specular"),
+                (T.MATTR_SPECULAR_TINT, "specular_tint"),
+                (T.MATTR_SHEEN, "sheen"), (T.MATTR_SHEEN_TINT, "sheen_tint"),
+                (T.MATTR_CLEARCOAT, "clearcoat"),
+                (T.MATTR_CLEARCOAT_GLOSS, "clearcoat_gloss"),
+            ):
+                mat_attr[k, col] = getattr(m, name)
         materials = T.MaterialArrays(
+            attr=f(mat_attr),
             tag=i32([m.tag for m in mats]),
             tex_kind=i32([m.tex_kind for m in mats]),
             tex_value=f([m.tex_value for m in mats]),
@@ -365,6 +415,31 @@ class SceneBuilder:
             area = np.zeros(1)
             pmf = np.ones(1)
             cdf = np.ones(1)
+        # packed per-light sampling operands: shape geometry resolved now so
+        # NEE needs one one-hot matmul instead of a pile of gathers
+        Lpad = max(8, -(-max(n_lights, 1) // 8) * 8)
+        lattr = np.zeros((Lpad, T.LATTR_DIM))
+        for li, l in enumerate(self._lights):
+            lattr[li, T.LATTR_TAG] = l["tag"]
+            lattr[li, T.LATTR_INTENSITY : T.LATTR_INTENSITY + 3] = l["intensity"]
+            if l["tag"] == T.LIGHT_POINT:
+                lattr[li, T.LATTR_POS : T.LATTR_POS + 3] = l["position"]
+                continue
+            lattr[li, T.LATTR_KIND] = l["shape_kind"]
+            lattr[li, T.LATTR_INV_AREA] = 1.0 / max(l["area"], 1e-30)
+            si = l["shape_idx"]
+            if l["shape_kind"] == T.SHAPE_TRI:
+                tri = self._tris[si]
+                lattr[li, T.LATTR_V0 : T.LATTR_V0 + 3] = tri[0]
+                lattr[li, T.LATTR_E1 : T.LATTR_E1 + 3] = tri[1]
+                lattr[li, T.LATTR_E2 : T.LATTR_E2 + 3] = tri[2]
+                lattr[li, T.LATTR_N0 : T.LATTR_N0 + 3] = tri[3]
+                lattr[li, T.LATTR_N1 : T.LATTR_N1 + 3] = tri[4]
+                lattr[li, T.LATTR_N2 : T.LATTR_N2 + 3] = tri[5]
+            else:
+                sph = self._spheres[si]
+                lattr[li, T.LATTR_POS : T.LATTR_POS + 3] = sph[0]
+                lattr[li, T.LATTR_RADIUS] = sph[1]
         lights = T.LightArrays(
             tag=i32(tag),
             intensity=f(intensity),
@@ -374,6 +449,7 @@ class SceneBuilder:
             area=f(area),
             power_pmf=f(pmf),
             power_cdf=f(cdf),
+            attr=f(lattr),
         )
 
         # --- texture atlas (pad to common extent) ---

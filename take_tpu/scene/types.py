@@ -105,6 +105,7 @@ class GeometryArrays:
     sph_radius: Any  # [S]
     sph_mat: Any  # [S] int32
     sph_light: Any  # [S] int32
+    sph_attr: Any  # [Spad, SATTR_DIM] packed shading attributes
 
 
 @_register
@@ -136,6 +137,7 @@ class MaterialArrays:
     sheen_tint: Any  # [M]
     clearcoat: Any  # [M]
     clearcoat_gloss: Any  # [M]
+    attr: Any  # [Mpad, MATTR_DIM] packed parameters (one-hot dispatch)
 
 
 @_register
@@ -156,6 +158,7 @@ class LightArrays:
     area: Any  # [L] shape surface area
     power_pmf: Any  # [L]
     power_cdf: Any  # [L] inclusive cdf
+    attr: Any  # [Lpad, LATTR_DIM] packed sampling operands (build.py)
 
 
 @_register
@@ -284,7 +287,55 @@ ATTR_UV2 = 16  # 16:18
 ATTR_MAT = 18
 ATTR_LIGHT = 19
 ATTR_FLAGS = 20
-ATTR_DIM = 24  # padded to a multiple of 8
+ATTR_EMIT = 21  # 21:24 area-light radiance (0 when not emissive)
+ATTR_INV_AREA = 24  # 1/triangle area (area-light pdf base)
+ATTR_DIM = 32  # padded to a multiple of 8
+
+# sph_attr packed layout
+SATTR_CENTER = 0  # 0:3
+SATTR_RADIUS = 3
+SATTR_MAT = 4
+SATTR_LIGHT = 5
+SATTR_EMIT = 6  # 6:9
+SATTR_DIM = 16
+
+# mat_attr packed layout (scalar parameters; reflectance texture slot)
+MATTR_TAG = 0
+MATTR_TEX_KIND = 1
+MATTR_TEX_IMAGE = 2
+MATTR_UVSCALE = 3  # 3:5
+MATTR_UVOFFSET = 5  # 5:7
+MATTR_TEX_VALUE = 7  # 7:10
+MATTR_ETA = 10
+MATTR_EXPONENT = 11
+MATTR_ROUGHNESS = 12
+MATTR_SUBSURFACE = 13
+MATTR_ANISOTROPIC = 14
+MATTR_METALLIC = 15
+MATTR_SPEC_TRANS = 16
+MATTR_SPECULAR = 17
+MATTR_SPECULAR_TINT = 18
+MATTR_SHEEN = 19
+MATTR_SHEEN_TINT = 20
+MATTR_CLEARCOAT = 21
+MATTR_CLEARCOAT_GLOSS = 22
+MATTR_DIM = 24
+
+# light_attr packed layout (per-light geometry resolved at build time so
+# NEE sampling needs zero gathers)
+LATTR_TAG = 0
+LATTR_KIND = 1  # SHAPE_TRI | SHAPE_SPHERE
+LATTR_INV_AREA = 2
+LATTR_INTENSITY = 3  # 3:6
+LATTR_POS = 6  # 6:9 point-light position | sphere center
+LATTR_RADIUS = 9  # sphere radius
+LATTR_V0 = 10  # 10:13 triangle vertex
+LATTR_E1 = 13  # 13:16
+LATTR_E2 = 16  # 16:19
+LATTR_N0 = 19  # 19:22 corner shading normals (flip reference)
+LATTR_N1 = 22  # 22:25
+LATTR_N2 = 25  # 25:28
+LATTR_DIM = 32
 
 
 class Hit(NamedTuple):
@@ -305,3 +356,6 @@ class Hit(NamedTuple):
     mat_id: Any  # [N] int32
     light_id: Any  # [N] int32 (-1 = not an emitter)
     front: Any = None  # [N] bool: ray hit the outward-facing side
+    # carried so integrators never gather into the light table:
+    emit: Any = None  # [N, 3] area-light radiance at the hit (0 if none)
+    light_geom: Any = None  # [N] 1/area for tri lights; -radius for spheres

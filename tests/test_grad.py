@@ -24,11 +24,9 @@ def _center_pixels(scene, k=2):
 
 
 def _with_albedo(scene, mat_id, value):
-    mats = scene.materials
-    tv = mats.tex_value.at[mat_id].set(value)
-    return dataclasses.replace(
-        scene, materials=dataclasses.replace(mats, tex_value=tv)
-    )
+    from take_tpu.scene.edit import with_material_reflectance
+
+    return with_material_reflectance(scene, mat_id, value)
 
 
 def test_furnace_albedo_grad_analytic():
@@ -75,11 +73,9 @@ def test_emission_grad_matches_fd():
     options = RenderOptions(spp=1, max_depth=2, seed=7)
 
     def f(scale):
-        L = scene.lights
-        s = dataclasses.replace(
-            scene,
-            lights=dataclasses.replace(L, intensity=L.intensity * scale),
-        )
+        from take_tpu.scene.edit import with_light_intensity_scale
+
+        s = with_light_intensity_scale(scene, scale)
         img = render_radiance(s, options, pix, jnp.int32(0), 64)
         return img.mean()
 

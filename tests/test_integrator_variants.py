@@ -33,7 +33,11 @@ def test_variants_agree_on_cornell():
 
 def test_variants_furnace():
     scene = sphere_furnace(albedo=0.5, width=16, height=16).build()
-    for integ, spp in (("one_sample_mis", 256), ("raw", 256)):
+    for integ, spp in (
+        ("one_sample_mis", 256),
+        ("one_sample_mis_power", 256),
+        ("raw", 256),
+    ):
         img = render_image(
             scene, RenderOptions(spp=spp, max_depth=4, seed=2, integrator=integ)
         )
