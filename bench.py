@@ -17,6 +17,10 @@ import dataclasses
 def main():
     import jax
 
+    from take_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
+
     from take_tpu.core.camera import Camera
     from take_tpu.render import render_image
     from take_tpu.scene.parse_xml import parse_scene_file

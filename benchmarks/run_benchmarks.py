@@ -40,6 +40,10 @@ def main():
 
     import jax
 
+    from take_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
+
     from take_tpu.core.camera import Camera
     from take_tpu.render import render_image
     from take_tpu.io.exr import write_exr

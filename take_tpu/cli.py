@@ -22,8 +22,20 @@ def main(argv=None):
     ap.add_argument(
         "-integrator", default="mis", choices=["mis", "one_sample_mis", "one_sample_mis_power", "raw"]
     )
+    ap.add_argument(
+        "-platform", default=None,
+        help="force a JAX platform (e.g. cpu); default = environment's",
+    )
     args = ap.parse_args(argv)
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from take_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
     from take_tpu.io.exr import write_exr
     from take_tpu.io.pfm import write_pfm
     from take_tpu.render import render_image

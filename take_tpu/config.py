@@ -24,3 +24,12 @@ C_EPSILON = 1e-4
 RAY_OFFSET_REL = 1.2e-4
 
 INF = float("inf")
+
+
+def enable_compile_cache(path="/tmp/take_tpu_jax_cache"):
+    """Persistent XLA compile cache — renders recompile only on code change.
+    Called by the CLI and bench entry points."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
