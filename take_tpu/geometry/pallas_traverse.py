@@ -63,6 +63,7 @@ def _kernel(
     u_out,
     v_out,
     prim_out,  # [1, 1, B] int32
+    stack_ref,  # SMEM [STACK] int32 scratch — the shared packet stack
 ):
     B = ro_ref.shape[2]
     Tpad = tri_d_ref.shape[1] // 3
@@ -130,8 +131,8 @@ def _kernel(
         return sp > 0
 
     def body(state):
-        sp, stack, t_best, u_best, v_best, p_best = state
-        node = stack[sp - 1]
+        sp, t_best, u_best, v_best, p_best = state
+        node = stack_ref[sp - 1]  # scalar SMEM read at dynamic index
         sp = sp - 1
 
         base = node * WIDTH
@@ -153,51 +154,43 @@ def _kernel(
         tlo = jnp.maximum(jnp.maximum(lo_x, lo_y), lo_z)
         thi = jnp.minimum(jnp.minimum(hi_x, hi_y), hi_z)
         hit = (tlo <= thi) & (thi >= tmin) & (tlo <= t_best)  # [W, B]
-        any_hit = jnp.any(hit, axis=1)  # [W]
+        any_hit_v = jnp.any(hit, axis=1, keepdims=True)  # [W, 1]
 
-        def child_step(w, carry):
-            sp_c, stack_c, best = carry
+        best = (t_best, u_best, v_best, p_best)
+        # Python-unrolled over the WIDTH child slots: all indices static
+        # (Mosaic has no dynamic_slice on values).
+        for w in range(WIDTH):
             c = child_ref[0, base + w]
             cnt = count_ref[0, base + w]
-            do = any_hit[w]
+            do = any_hit_v[w, 0]
+            push_w = do & (c >= 0)
+            leaf_w = do & (c < 0) & (cnt > 0)
 
-            def on_internal(args):
-                sp_i, stack_i, best_i = args
-                stack_i = stack_i.at[jnp.minimum(sp_i, STACK - 1)].set(c)
-                return jnp.minimum(sp_i + 1, STACK), stack_i, best_i
+            # masked scalar push: the slot above the top is free space, so
+            # an un-pushed write just rewrites garbage with garbage
+            slot = jnp.minimum(sp, STACK - 1)
+            cur = stack_ref[slot]
+            stack_ref[slot] = jnp.where(push_w, c, cur)
+            sp = sp + push_w.astype(jnp.int32)
 
-            def on_leaf(args):
-                sp_i, stack_i, best_i = args
-                start = -(c + 1)
-                return sp_i, stack_i, leaf_sweep(start, cnt, best_i)
-
-            def on_hit(args):
-                return jax.lax.cond(c >= 0, on_internal, on_leaf, args)
-
-            return jax.lax.cond(
-                do & ((c >= 0) | (cnt > 0)),
-                on_hit,
-                lambda args: args,
-                (sp_c, stack_c, best),
+            best = jax.lax.cond(
+                leaf_w,
+                lambda b, c=c, cnt=cnt: leaf_sweep(-(c + 1), cnt, b),
+                lambda b: b,
+                best,
             )
+        return (sp,) + best
 
-        sp, stack, best = jax.lax.fori_loop(
-            0, WIDTH, child_step,
-            (sp, stack, (t_best, u_best, v_best, p_best)),
-        )
-        return (sp, stack) + best
-
-    stack0 = jnp.zeros((STACK,), jnp.int32)
     state = (
         jnp.int32(1),
-        stack0,
         jnp.full((1, B), _BIG),
         jnp.zeros((1, B)),
         jnp.zeros((1, B)),
         jnp.full((1, B), -1, jnp.int32),
     )
+    stack_ref[0] = 0  # root
     state = jax.lax.while_loop(cond, body, state)
-    _, _, t_best, u_best, v_best, p_best = state
+    _, t_best, u_best, v_best, p_best = state
     ok = t_best <= tmax_ref[0, :, :]
     t_out[0, :, :] = jnp.where(ok, t_best, _BIG)
     u_out[0, :, :] = u_best
@@ -247,6 +240,7 @@ def packet_traverse(nmin, nmax, child, count, tri_o, tri_d, ro, rd, tmin, tmax,
             jax.ShapeDtypeStruct((n_blocks, 1, BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, 1, BLOCK), jnp.int32),
         ],
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         interpret=interpret,
     )(nmin, nmax, child, count, tri_o, tri_d, ro_t, rd_t, tmin_t, tmax_t)
 
