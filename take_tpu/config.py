@@ -25,6 +25,11 @@ RAY_OFFSET_REL = 1.2e-4
 
 INF = float("inf")
 
+# Fused Pallas brute-force intersection kernels (geometry/pallas_brute.py)
+# for VMEM-resident scenes on the TPU backend. Trace-time switch: flip before
+# the first jit trace (or clear jit caches) for it to take effect.
+PALLAS_BRUTE = True
+
 
 def enable_compile_cache(path="/tmp/take_tpu_jax_cache"):
     """Persistent XLA compile cache — renders recompile only on code change.

@@ -23,6 +23,7 @@ scenes; both produce identical Hit records.
 import jax
 import jax.numpy as jnp
 
+from take_tpu import config
 from take_tpu.core.math import C_PI, C_TWOPI, normalize
 from take_tpu.scene.types import (
     ATTR_EMIT,
@@ -148,6 +149,20 @@ def _sphere_uv(p):
     return jnp.stack([phi / C_TWOPI, -theta / C_PI], axis=-1)
 
 
+def _pallas_eligible(scene: Scene) -> bool:
+    """Trace-time gate for the fused Pallas sweep (geometry/pallas_brute.py):
+    TPU backend, triangles present, tables small enough to sit in VMEM for
+    the whole grid. CPU tests and big (BVH) scenes take the other paths."""
+    from take_tpu.geometry import pallas_brute
+
+    return (
+        config.PALLAS_BRUTE
+        and jax.default_backend() == "tpu"
+        and scene.meta.n_tri > 0
+        and scene.geometry.tri_attr.shape[0] <= pallas_brute.MAX_TRIS
+    )
+
+
 def intersect_scene(scene: Scene, ro, rd, tmin, tmax) -> Hit:
     """Closest-hit query for a batch of rays.
 
@@ -163,7 +178,65 @@ def intersect_scene(scene: Scene, ro, rd, tmin, tmax) -> Hit:
         from take_tpu.geometry.traverse import bvh_intersect
 
         return bvh_intersect(scene, ro, rd, tmin, tmax)
+    if _pallas_eligible(scene):
+        return _brute_intersect_hybrid(scene, ro, rd, tmin, tmax)
     return _brute_force_intersect(scene, ro, rd, tmin, tmax)
+
+
+def _pad_rays(ro, rd, tmin, tmax, block):
+    """Pad the ray axis to a multiple of `block` with guaranteed-miss rays."""
+    N = ro.shape[0]
+    Np = -(-N // block) * block
+    if Np == N:
+        return N, ro, rd, tmin, tmax
+    pad = Np - N
+    ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)])
+    rd = jnp.concatenate([rd, jnp.zeros((pad, 3), rd.dtype)])
+    tmin = jnp.concatenate([tmin, jnp.zeros(pad, tmin.dtype)])
+    tmax = jnp.concatenate([tmax, jnp.full(pad, -1.0, tmax.dtype)])
+    return N, ro, rd, tmin, tmax
+
+
+def _pallas_brute_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
+    """Triangle sweep in the fused kernel; sphere merge stays in XLA."""
+    from take_tpu.geometry import pallas_brute
+
+    g = scene.geometry
+    N, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(
+        ro, rd, tmin, tmax, pallas_brute.BLOCK
+    )
+    attrs, tri_t, u_best, v_best, tri_hit = pallas_brute.pallas_tri_sweep(
+        g, scene.meta.n_tri, ro_p, rd_p, tmin_p, tmax_p
+    )
+    attrs, tri_t = attrs[:N], tri_t[:N]
+    u_best, v_best, tri_hit = u_best[:N], v_best[:N], tri_hit[:N]
+    return _merge_and_shade(
+        scene, ro, rd, tmin, tmax, tri_t, tri_hit, attrs, u_best, v_best
+    )
+
+
+@jax.custom_vjp
+def _brute_intersect_hybrid(scene: Scene, ro, rd, tmin, tmax) -> Hit:
+    return _pallas_brute_intersect(scene, ro, rd, tmin, tmax)
+
+
+def _hybrid_fwd(scene, ro, rd, tmin, tmax):
+    return (
+        _pallas_brute_intersect(scene, ro, rd, tmin, tmax),
+        (scene, ro, rd, tmin, tmax),
+    )
+
+
+def _hybrid_bwd(res, ct):
+    # Gradients = AD of the XLA brute path (identical primal semantics): the
+    # kernel is forward-only, so the backward pass replays the XLA sweep and
+    # transposes it. Emission/attr gradients match the non-Pallas build
+    # exactly; geometry stays stop-gradded inside _brute_force_intersect.
+    _, vjp = jax.vjp(_brute_force_intersect, *res)
+    return vjp(ct)
+
+
+_brute_intersect_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
 def _brute_force_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
@@ -212,6 +285,19 @@ def _brute_force_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
         attrs = jnp.zeros((N, g.tri_attr.shape[1]), ro.dtype)
         u_best = jnp.zeros(N, ro.dtype)
         v_best = jnp.zeros(N, ro.dtype)
+
+    return _merge_and_shade(
+        scene, ro, rd, tmin, tmax, tri_t, tri_hit, attrs, u_best, v_best
+    )
+
+
+def _merge_and_shade(
+    scene: Scene, ro, rd, tmin, tmax, tri_t, tri_hit, attrs, u_best, v_best
+) -> Hit:
+    """Shared epilogue: fold in spheres, pick the winner, build the Hit."""
+    g = scene.geometry
+    meta = scene.meta
+    N = ro.shape[0]
 
     # --- spheres ---
     if meta.n_sph > 0:
@@ -342,7 +428,19 @@ def occluded(scene: Scene, ro, rd, tmin, tmax):
     g = scene.geometry
     meta = scene.meta
     occ = jnp.zeros(ro.shape[0], bool)
-    if meta.n_tri > 0:
+    if meta.n_tri > 0 and _pallas_eligible(scene):
+        from take_tpu.geometry import pallas_brute
+
+        # visibility is constant under AD (grad.py scope): detach inputs so
+        # no tangent reaches the kernel
+        sg = jax.lax.stop_gradient
+        N, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(
+            sg(ro), sg(rd), sg(tmin), sg(tmax), pallas_brute.BLOCK
+        )
+        occ = pallas_brute.pallas_tri_occluded(
+            sg(g), meta.n_tri, ro_p, rd_p, tmin_p, tmax_p
+        )[:N]
+    elif meta.n_tri > 0:
         _, _, _, valid_t = _tri_uvt(g, ro, rd, tmin, tmax, meta.n_tri)
         occ = jnp.any(valid_t, axis=1)
     if meta.n_sph > 0:

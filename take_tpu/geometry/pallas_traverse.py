@@ -91,12 +91,21 @@ def _kernel(
         d_v = tri_d_ref[:, pl.ds(1 * Tpad + start, LEAF_SIZE)]
         d_w = tri_d_ref[:, pl.ds(2 * Tpad + start, LEAF_SIZE)]
 
-        su = jnp.dot(o_u.T, oh, preferred_element_type=jnp.float32)  # [L, B]
-        sv = jnp.dot(o_v.T, oh, preferred_element_type=jnp.float32)
-        sw = jnp.dot(o_w.T, oh, preferred_element_type=jnp.float32)
-        du = jnp.dot(d_u.T, rdm, preferred_element_type=jnp.float32)
-        dv = jnp.dot(d_v.T, rdm, preferred_element_type=jnp.float32)
-        dw = jnp.dot(d_w.T, rdm, preferred_element_type=jnp.float32)
+        # HIGHEST: Mosaic's default f32 dot is a single bf16 pass (~1e-3 rel
+        # error, measured) — unusable for world-space intersection.
+        hi = jax.lax.Precision.HIGHEST
+        su = jnp.dot(o_u.T, oh, preferred_element_type=jnp.float32,
+                     precision=hi)  # [L, B]
+        sv = jnp.dot(o_v.T, oh, preferred_element_type=jnp.float32,
+                     precision=hi)
+        sw = jnp.dot(o_w.T, oh, preferred_element_type=jnp.float32,
+                     precision=hi)
+        du = jnp.dot(d_u.T, rdm, preferred_element_type=jnp.float32,
+                     precision=hi)
+        dv = jnp.dot(d_v.T, rdm, preferred_element_type=jnp.float32,
+                     precision=hi)
+        dw = jnp.dot(d_w.T, rdm, preferred_element_type=jnp.float32,
+                     precision=hi)
 
         parallel = jnp.abs(dw) < 1e-12
         inv_dw = 1.0 / jnp.where(parallel, 1.0, dw)

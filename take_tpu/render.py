@@ -11,6 +11,7 @@ Multi-device: render_image accepts an optional sharding for the pixel axis
 devices.
 """
 
+import dataclasses
 import functools
 import time
 
@@ -45,7 +46,7 @@ def _trace_fn(options: RenderOptions):
 @functools.partial(
     jax.jit, static_argnames=("options", "width", "n_samples")
 )
-def render_pass(
+def _render_pass_jit(
     scene: Scene,
     options: RenderOptions,
     pixel_idx,
@@ -81,6 +82,19 @@ def render_pass(
     ro, rd = generate_rays(cam, px, py, jx, jy)
     radiance = trace(scene, options, ro, rd, streams)
     return jnp.sum(radiance.reshape(n_samples, P, 3), axis=0)
+
+
+def render_pass(scene, options, pixel_idx, sample0, width, n_samples):
+    """Jitted pass with a normalized compile key: fields that do not affect
+    the traced program (spp, max_rays_per_pass — both consumed by the HOST
+    pass loop, never inside the trace) are canonicalized so e.g. a 1-spp
+    warmup compiles the same executable as the 4096-spp production render."""
+    key_options = dataclasses.replace(
+        options, spp=1, max_rays_per_pass=RenderOptions.max_rays_per_pass
+    )
+    return _render_pass_jit(
+        scene, key_options, pixel_idx, sample0, width, n_samples
+    )
 
 
 def render_image(scene: Scene, options: RenderOptions = RenderOptions(),
