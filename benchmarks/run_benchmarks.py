@@ -16,6 +16,7 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(ROOT, "scenes"))
+sys.path.insert(0, ROOT)  # `python benchmarks/run_benchmarks.py` from anywhere
 
 CONFIGS = [
     # (name, scene, res_override, spp, max_depth)

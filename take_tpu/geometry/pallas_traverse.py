@@ -3,8 +3,8 @@
 Design: *packet* (block-coherent) traversal — the classic SIMD technique
 re-mapped to TPU strengths. Each grid cell owns a block of B rays:
 
-  * the node table + reordered triangle operands live wholly in VMEM (they
-    fit for production interiors: ~1k nodes + ~100k tris = a few MB),
+  * the node table + triangle operands live wholly in VMEM for the whole
+    grid (gated by a VMEM budget in geometry/traverse.py),
   * the traversal stack is SCALAR and shared per block: one node pops per
     iteration and its WIDTH child boxes are slab-tested against ALL B rays
     at once — [W, B] vector ops with the ray axis on lanes,
@@ -13,13 +13,26 @@ re-mapped to TPU strengths. Each grid cell owns a block of B rays:
     reorders triangles, so the kernel contains zero gathers),
   * per-ray best (t, u, v, prim) accumulates in the while-loop carry.
 
+Mosaic layout rules (hard-won): dynamic indexing of the LANE dimension must
+be provably 128-aligned, so every dynamically-indexed table here is
+SUBLANE-major instead:
+
+  * node table [M*WIDTH, 8]: row m*W+w = child w of node m, lanes =
+    (min.xyz, max.xyz, child, count) with child/count stored as f32
+    (exact below 2^24). A node pop loads rows [node*W : node*W+W] — a
+    dynamic sublane start that is a provable multiple of 8.
+  * triangle operands [Tpad, 24]: row t = (o_u[4], o_v[4], o_w[4], d_u[3],
+    d_v[3], d_w[3], pad) — the affine maps of intersect.py::_tri_uvt in
+    row form. Leaf runs start at arbitrary offsets, so the kernel loads an
+    8-ALIGNED WINDOW of LEAF_SIZE+8 rows around the run and masks the
+    overhang (keeps the BVH build free of alignment constraints).
+
+Matmul precision is HIGHEST: Mosaic's default f32 dot is one bf16 pass
+(~1e-3 rel error, measured) — unusable for world-space geometry.
+
 Packets are coherent for primary rays; bounce batches lose coherence
 (future: per-bounce ray binning). The jnp while_loop traversal
 (traverse.py) remains the fallback for scenes larger than VMEM.
-
-Data layout (from scene/build.py + geometry/bvh.py):
-  node boxes transposed to [3, M*W]; child/count as [1, M*W] int32;
-  triangle affine operands axis-major [4, 3T] / [3, 3T].
 """
 
 import functools
@@ -33,28 +46,48 @@ from take_tpu.geometry.bvh import LEAF_SIZE, WIDTH
 
 BLOCK = 256  # rays per packet
 STACK = 64
+WINDOW = LEAF_SIZE + 8  # aligned leaf window (see module docstring)
 
 _BIG = 3.4e38
+_HI = jax.lax.Precision.HIGHEST
 
 
 def prep_tables(scene):
-    """Kernel-layout views of the BVH tables (pure reshapes, jit-cacheable)."""
+    """Kernel-layout views of the BVH + triangle tables (cacheable under jit).
+
+    Returns (nodes [M*W, 8] f32, tris [Tpad, 24] f32).
+    """
     bvh = scene.bvh
+    g = scene.geometry
     M = bvh.node_child.shape[0]
-    nmin = bvh.node_min.transpose(2, 0, 1).reshape(3, M * WIDTH)
-    nmax = bvh.node_max.transpose(2, 0, 1).reshape(3, M * WIDTH)
-    child = bvh.node_child.reshape(1, M * WIDTH)
-    count = bvh.node_count.reshape(1, M * WIDTH)
-    return nmin, nmax, child, count
+    nodes = jnp.concatenate(
+        [
+            bvh.node_min,  # [M, W, 3]
+            bvh.node_max,
+            bvh.node_child.astype(jnp.float32)[..., None],
+            bvh.node_count.astype(jnp.float32)[..., None],
+        ],
+        axis=2,
+    ).reshape(M * WIDTH, 8)
+
+    Tpad = g.tri_attr.shape[0]
+    # axis-major [4, 3T] / [3, 3T] -> row-major [T, 21] (pad to 24 lanes)
+    o = g.tri_affine_o.reshape(4, 3, Tpad)  # [4, uvw, T]
+    d = g.tri_affine_d.reshape(3, 3, Tpad)
+    rows = jnp.concatenate(
+        [
+            o.transpose(2, 1, 0).reshape(Tpad, 12),  # o_u[4], o_v[4], o_w[4]
+            d.transpose(2, 1, 0).reshape(Tpad, 9),  # d_u[3], d_v[3], d_w[3]
+            jnp.zeros((Tpad, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+    return nodes, rows
 
 
 def _kernel(
-    nmin_ref,  # [3, MW]
-    nmax_ref,  # [3, MW]
-    child_ref,  # [1, MW] int32
-    count_ref,  # [1, MW] int32
-    tri_o_ref,  # [4, 3T]
-    tri_d_ref,  # [3, 3T]
+    nodes_ref,  # [M*W, 8] f32
+    tris_ref,  # [Tpad, 24] f32
     ro_ref,  # [1, 3, B]
     rd_ref,  # [1, 3, B]
     tmin_ref,  # [1, 1, B]
@@ -66,7 +99,7 @@ def _kernel(
     stack_ref,  # SMEM [STACK] int32 scratch — the shared packet stack
 ):
     B = ro_ref.shape[2]
-    Tpad = tri_d_ref.shape[1] // 3
+    Tpad = tris_ref.shape[0]
 
     rox = ro_ref[0, 0:1, :]  # [1, B]
     roy = ro_ref[0, 1:2, :]
@@ -82,42 +115,35 @@ def _kernel(
     rdm = jnp.concatenate([rdx, rdy, rdz], axis=0)  # [3, B]
 
     def leaf_sweep(start, cnt, best):
-        """Dense Möller–Trumbore: [LEAF_SIZE] tris x [B] rays on the MXU."""
+        """Dense Möller–Trumbore over an 8-aligned window covering the run."""
         t_best, u_best, v_best, p_best = best
-        o_u = tri_o_ref[:, pl.ds(0 * Tpad + start, LEAF_SIZE)]  # [4, L]
-        o_v = tri_o_ref[:, pl.ds(1 * Tpad + start, LEAF_SIZE)]
-        o_w = tri_o_ref[:, pl.ds(2 * Tpad + start, LEAF_SIZE)]
-        d_u = tri_d_ref[:, pl.ds(0 * Tpad + start, LEAF_SIZE)]  # [3, L]
-        d_v = tri_d_ref[:, pl.ds(1 * Tpad + start, LEAF_SIZE)]
-        d_w = tri_d_ref[:, pl.ds(2 * Tpad + start, LEAF_SIZE)]
+        w0 = pl.multiple_of(
+            jnp.minimum((start // 8) * 8, Tpad - WINDOW), 8
+        )
+        blk = tris_ref[pl.ds(w0, WINDOW), :]  # [Wd, 24]
 
-        # HIGHEST: Mosaic's default f32 dot is a single bf16 pass (~1e-3 rel
-        # error, measured) — unusable for world-space intersection.
-        hi = jax.lax.Precision.HIGHEST
-        su = jnp.dot(o_u.T, oh, preferred_element_type=jnp.float32,
-                     precision=hi)  # [L, B]
-        sv = jnp.dot(o_v.T, oh, preferred_element_type=jnp.float32,
-                     precision=hi)
-        sw = jnp.dot(o_w.T, oh, preferred_element_type=jnp.float32,
-                     precision=hi)
-        du = jnp.dot(d_u.T, rdm, preferred_element_type=jnp.float32,
-                     precision=hi)
-        dv = jnp.dot(d_v.T, rdm, preferred_element_type=jnp.float32,
-                     precision=hi)
-        dw = jnp.dot(d_w.T, rdm, preferred_element_type=jnp.float32,
-                     precision=hi)
+        dot = lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32, precision=_HI
+        )
+        su = dot(blk[:, 0:4], oh)  # [Wd, B]
+        sv = dot(blk[:, 4:8], oh)
+        sw = dot(blk[:, 8:12], oh)
+        du = dot(blk[:, 12:15], rdm)
+        dv = dot(blk[:, 15:18], rdm)
+        dw = dot(blk[:, 18:21], rdm)
 
         parallel = jnp.abs(dw) < 1e-12
         inv_dw = 1.0 / jnp.where(parallel, 1.0, dw)
-        t = -sw * inv_dw  # [L, B]
+        t = -sw * inv_dw  # [Wd, B]
         u = su + t * du
         v = sv + t * dv
-        lane = jax.lax.broadcasted_iota(jnp.int32, (LEAF_SIZE, B), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, B), 0)
+        rel = lane + (w0 - start)  # 0.. for rows inside the run
         ok = (
             (~parallel)
             & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t >= tmin) & (t < t_best)
-            & (lane < cnt)
+            & (rel >= 0) & (rel < cnt)
         )
         t_m = jnp.where(ok, t, _BIG)
         best_l = jnp.argmin(t_m, axis=0)  # [B]
@@ -131,7 +157,7 @@ def _kernel(
             jnp.where(better, u_new, u_best),
             jnp.where(better, v_new, v_best),
             jnp.where(
-                better, (start + best_l[None, :]).astype(jnp.int32), p_best
+                better, (w0 + best_l[None, :]).astype(jnp.int32), p_best
             ),
         )
 
@@ -144,34 +170,33 @@ def _kernel(
         node = stack_ref[sp - 1]  # scalar SMEM read at dynamic index
         sp = sp - 1
 
-        base = node * WIDTH
-        cmin_x = nmin_ref[0:1, pl.ds(base, WIDTH)]  # [1, W]
-        cmin_y = nmin_ref[1:2, pl.ds(base, WIDTH)]
-        cmin_z = nmin_ref[2:3, pl.ds(base, WIDTH)]
-        cmax_x = nmax_ref[0:1, pl.ds(base, WIDTH)]
-        cmax_y = nmax_ref[1:2, pl.ds(base, WIDTH)]
-        cmax_z = nmax_ref[2:3, pl.ds(base, WIDTH)]
+        base = pl.multiple_of(node * WIDTH, 8)
+        blk = nodes_ref[pl.ds(base, WIDTH), :]  # [W, 8]
+        bx, by, bz = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]  # [W, 1]
+        BX, BY, BZ = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+        child_f = blk[:, 6:7]  # [W, 1] f32-encoded int
+        count_f = blk[:, 7:8]
 
-        def slab(cmin, cmax, ro_c, inv_c):
-            t0 = (cmin.T - ro_c) * inv_c  # [W, B]
-            t1 = (cmax.T - ro_c) * inv_c
+        def slab(lo_c, hi_c, ro_c, inv_c):
+            t0 = (lo_c - ro_c) * inv_c  # [W, B]
+            t1 = (hi_c - ro_c) * inv_c
             return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
 
-        lo_x, hi_x = slab(cmin_x, cmax_x, rox, inv_x)
-        lo_y, hi_y = slab(cmin_y, cmax_y, roy, inv_y)
-        lo_z, hi_z = slab(cmin_z, cmax_z, roz, inv_z)
+        lo_x, hi_x = slab(bx, BX, rox, inv_x)
+        lo_y, hi_y = slab(by, BY, roy, inv_y)
+        lo_z, hi_z = slab(bz, BZ, roz, inv_z)
         tlo = jnp.maximum(jnp.maximum(lo_x, lo_y), lo_z)
         thi = jnp.minimum(jnp.minimum(hi_x, hi_y), hi_z)
         hit = (tlo <= thi) & (thi >= tmin) & (tlo <= t_best)  # [W, B]
-        any_hit_v = jnp.any(hit, axis=1, keepdims=True)  # [W, 1]
+        # int32: Mosaic can only extract 32-bit scalars, not bools
+        any_hit_v = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
 
         best = (t_best, u_best, v_best, p_best)
         # Python-unrolled over the WIDTH child slots: all indices static
-        # (Mosaic has no dynamic_slice on values).
         for w in range(WIDTH):
-            c = child_ref[0, base + w]
-            cnt = count_ref[0, base + w]
-            do = any_hit_v[w, 0]
+            c = child_f[w, 0].astype(jnp.int32)
+            cnt = count_f[w, 0].astype(jnp.int32)
+            do = any_hit_v[w, 0] > 0
             push_w = do & (c >= 0)
             leaf_w = do & (c < 0) & (cnt > 0)
 
@@ -208,12 +233,12 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def packet_traverse(nmin, nmax, child, count, tri_o, tri_d, ro, rd, tmin, tmax,
-                    interpret: bool = False):
+def packet_traverse(nodes, tris, ro, rd, tmin, tmax, interpret: bool = False):
     """Traverse rays [N, 3] against the VMEM-resident wide BVH.
 
-    Returns (t [N], u [N], v [N], prim [N]); t == 3.4e38 marks a miss.
-    N must be a multiple of BLOCK (caller pads).
+    Args are the prep_tables views + flat ray SoA. Returns (t [N], u [N],
+    v [N], prim [N]); t == 3.4e38 marks a miss. N must be a multiple of
+    BLOCK (caller pads).
     """
     N = ro.shape[0]
     n_blocks = N // BLOCK
@@ -237,9 +262,7 @@ def packet_traverse(nmin, nmax, child, count, tri_o, tri_d, ro, rd, tmin, tmax,
         _kernel,
         grid=(n_blocks,),
         in_specs=[
-            full(nmin.shape), full(nmax.shape),
-            full(child.shape), full(count.shape),
-            full(tri_o.shape), full(tri_d.shape),
+            full(nodes.shape), full(tris.shape),
             per_block(), per_block(), per_block1(), per_block1(),
         ],
         out_specs=[per_block1(), per_block1(), per_block1(), per_block1()],
@@ -251,6 +274,6 @@ def packet_traverse(nmin, nmax, child, count, tri_o, tri_d, ro, rd, tmin, tmax,
         ],
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         interpret=interpret,
-    )(nmin, nmax, child, count, tri_o, tri_d, ro_t, rd_t, tmin_t, tmax_t)
+    )(nodes, tris, ro_t, rd_t, tmin_t, tmax_t)
 
     return t.reshape(N), u.reshape(N), v.reshape(N), prim.reshape(N)

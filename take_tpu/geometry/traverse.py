@@ -14,12 +14,32 @@ it on the hot path. Produces Hit records identical to the brute-force sweep
 import jax
 import jax.numpy as jnp
 
+from take_tpu import config
 from take_tpu.geometry.bvh import LEAF_SIZE, WIDTH
-from take_tpu.scene.types import Hit, Scene
+from take_tpu.scene.types import ATTR_EMIT, Hit, Scene
 
 STACK = 48
 
 _BIG = jnp.float32(3.4e38)
+
+# VMEM budget for the packet kernel's resident tables (node boxes + triangle
+# affine operands); beyond this the while-loop path streams from HBM instead.
+_PACKET_VMEM_BYTES = 10 * 2**20
+
+
+def _packet_eligible(scene: Scene) -> bool:
+    """Trace-time gate for the Pallas packet kernel: TPU backend and the BVH
+    node table + triangle operands fit the VMEM budget together."""
+    if not (config.PALLAS_BRUTE and jax.default_backend() == "tpu"):
+        return False
+    bvh = scene.bvh
+    M = bvh.node_child.shape[0]
+    Tpad = scene.geometry.tri_attr.shape[0]
+    # PHYSICAL VMEM: both tables are sublane-major with few used lanes, so
+    # each row occupies a full 128-lane tile (see pallas_traverse docstring)
+    node_bytes = M * WIDTH * 128 * 4
+    tri_bytes = Tpad * 128 * 4
+    return node_bytes + tri_bytes <= _PACKET_VMEM_BYTES
 
 
 def _slab_test(nmin, nmax, ro, inv_rd, tmin, tmax):
@@ -167,64 +187,66 @@ def _traverse(scene: Scene, ro, rd, tmin, tmax, any_hit: bool):
     return best_t, best_u, best_v, best_prim, found
 
 
+def _traverse_backend(scene: Scene, ro, rd, tmin, tmax):
+    """(t, u, v, prim, found) from the packet kernel (TPU, tables fit VMEM)
+    or the jnp while-loop. Inputs are DETACHED: lax.while_loop is not
+    reverse-differentiable and the Pallas kernel is primal-only, so traversal
+    treats geometry/visibility as constant under AD — matching the brute
+    path's stop-gradded geometry. Emission stays differentiable through the
+    attribute gather in bvh_intersect."""
+    sg = jax.lax.stop_gradient
+    scene, ro, rd = sg(scene), sg(ro), sg(rd)
+    tmin, tmax = sg(tmin), sg(tmax)
+    if _packet_eligible(scene):
+        from take_tpu.geometry.intersect import _pad_rays
+        from take_tpu.geometry.pallas_traverse import (
+            BLOCK,
+            packet_traverse,
+            prep_tables,
+        )
+
+        N, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, BLOCK)
+        nodes, tris = prep_tables(scene)
+        t, u, v, prim = packet_traverse(
+            nodes, tris, ro_p, rd_p, tmin_p, tmax_p
+        )
+        t, u, v, prim = t[:N], u[:N], v[:N], prim[:N]
+        return t, u, v, prim, prim >= 0
+    return _traverse(scene, ro, rd, tmin, tmax, any_hit=False)
+
+
 def bvh_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
-    from take_tpu.geometry.intersect import (
-        _sph_t,
-        shade_sphere_hit,
-        shade_triangle_attrs,
-    )
+    from take_tpu.geometry.intersect import _merge_and_shade
 
     g = scene.geometry
-    meta = scene.meta
-    N = ro.shape[0]
-    t, u, v, prim, found = _traverse(scene, ro, rd, tmin, tmax, any_hit=False)
+    t, u, v, prim, found = _traverse_backend(scene, ro, rd, tmin, tmax)
 
     prim_safe = jnp.maximum(prim, 0)
-    attrs = g.tri_attr[prim_safe]
-    t_tri = jnp.where(found, t, _BIG)
-
-    if meta.n_sph > 0:
-        t_sph, valid_s = _sph_t(g, ro, rd, tmin, tmax, meta.n_sph)
-        t_sph_masked = jnp.where(valid_s, t_sph, _BIG)
-        best_sph = jnp.argmin(t_sph_masked, axis=1)
-        sph_t = jnp.min(t_sph_masked, axis=1)
-        sph_hit = sph_t < _BIG
-    else:
-        best_sph = jnp.zeros(N, jnp.int32)
-        sph_t = jnp.full(N, _BIG)
-        sph_hit = jnp.zeros(N, bool)
-
-    use_sph = sph_hit & (sph_t < t_tri)
-    valid = found | sph_hit
-    tt = jnp.where(use_sph, sph_t, t_tri)
-    t_safe = jnp.where(valid, tt, 1.0)
-
-    hit_tri = shade_triangle_attrs(attrs, u, v, ro, rd, t_safe)
-    if meta.n_sph > 0:
-        hit_sph = shade_sphere_hit(g, best_sph, ro, rd, t_safe)
-        sel = use_sph[:, None]
-        return Hit(
-            valid=valid,
-            t=tt,
-            pos=jnp.where(sel, hit_sph.pos, hit_tri.pos),
-            geo_n=jnp.where(sel, hit_sph.geo_n, hit_tri.geo_n),
-            sh_n=jnp.where(sel, hit_sph.sh_n, hit_tri.sh_n),
-            uv=jnp.where(sel, hit_sph.uv, hit_tri.uv),
-            mat_id=jnp.where(use_sph, hit_sph.mat_id, hit_tri.mat_id),
-            light_id=jnp.where(use_sph, hit_sph.light_id, hit_tri.light_id),
-            front=jnp.where(use_sph, hit_sph.front, hit_tri.front),
-            emit=jnp.where(sel, hit_sph.emit, hit_tri.emit),
-            light_geom=jnp.where(
-                use_sph, hit_sph.light_geom, hit_tri.light_geom
-            ),
-        )
-    return hit_tri._replace(valid=valid, t=tt)
+    # same gradient scope as the brute path: geometry columns detached, the
+    # EMIT slice differentiable (gather transposes to a scatter-add)
+    attrs = jax.lax.stop_gradient(g.tri_attr)[prim_safe]
+    emit_d = g.tri_attr[:, ATTR_EMIT : ATTR_EMIT + 3][prim_safe]
+    attrs = jnp.concatenate(
+        [attrs[:, :ATTR_EMIT], emit_d, attrs[:, ATTR_EMIT + 3 :]], axis=1
+    )
+    tri_t = jnp.where(found, t, _BIG)
+    return _merge_and_shade(
+        scene, ro, rd, tmin, tmax, tri_t, found, attrs, u, v
+    )
 
 
 def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
     from take_tpu.geometry.intersect import _sph_t
 
-    *_, found = _traverse(scene, ro, rd, tmin, tmax, any_hit=True)
+    if _packet_eligible(scene):
+        # closest-hit within [tmin, tmax] doubles as any-hit (the reference's
+        # scene_occluded is a full closest-hit too, scene.cpp:49-63)
+        *_, found = _traverse_backend(scene, ro, rd, tmin, tmax)
+    else:
+        sg = jax.lax.stop_gradient
+        *_, found = _traverse(
+            sg(scene), sg(ro), sg(rd), sg(tmin), sg(tmax), any_hit=True
+        )
     if scene.meta.n_sph > 0:
         _, valid_s = _sph_t(
             scene.geometry, ro, rd, tmin, tmax, scene.meta.n_sph

@@ -100,3 +100,25 @@ def test_grad_finite_everywhere():
     for leaf in leaves:
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_bvh_scene_grads_flow():
+    """BVH scenes are differentiable: traversal is detached (while_loop /
+    Pallas are primal-only) but emission still flows through the attribute
+    gather, exactly like the brute path's scope."""
+    from take_tpu.scene.edit import with_light_intensity_scale
+
+    scene = cornell_box(width=8, height=8).build(build_bvh=True)
+    assert scene.bvh is not None
+    pix = _center_pixels(scene, k=2)
+    options = RenderOptions(spp=1, max_depth=2, seed=7)
+
+    def f(scale):
+        s = with_light_intensity_scale(scene, scale)
+        img = render_radiance(s, options, pix, jnp.int32(0), 32)
+        return img.mean()
+
+    val, g = jax.value_and_grad(f)(jnp.float32(1.0))
+    # linear in emission at depth 2 => f'(1) == f(1), and both positive
+    assert float(val) > 0
+    np.testing.assert_allclose(float(g), float(val), rtol=1e-3)

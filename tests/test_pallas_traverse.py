@@ -23,11 +23,9 @@ def test_packet_matches_whileloop(n_tri, rng_np):
     tmax = jnp.full(N, jnp.inf)
 
     ref = intersect_scene(scene, ro, rd, tmin, tmax)
-    nmin, nmax, child, count = prep_tables(scene)
-    g = scene.geometry
+    nodes, tris = prep_tables(scene)
     t, u, v, prim = packet_traverse(
-        nmin, nmax, child, count, g.tri_affine_o, g.tri_affine_d,
-        ro, rd, tmin, tmax, interpret=True,
+        nodes, tris, ro, rd, tmin, tmax, interpret=True
     )
     t = np.asarray(t)
     hit = t < 1e38
