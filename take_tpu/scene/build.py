@@ -309,6 +309,34 @@ class SceneBuilder:
             if lid >= 0:
                 emit[t_idx] = self._lights[lid]["intensity"]
         np_tri["tri_emit"] = emit
+
+        # --- BVH (host numpy, BEFORE upload) ---
+        # Build the wide BVH and reorder the triangle columns here, while
+        # everything is still host memory: pulling uploaded tables back for a
+        # post-hoc repack costs minutes of device->host round trips on a
+        # tunneled TPU. Padding rows keep their (identity) positions.
+        if build_bvh == "auto":
+            build_bvh = n_tri + n_sph > 256
+        bvh_np = None
+        tri_inv_order = None
+        if build_bvh and n_tri > 0:
+            from take_tpu.geometry.bvh import build_bvh as _wide_bvh
+
+            p0 = np_tri["tri_v0"][:n_tri]
+            p1 = p0 + np_tri["tri_e1"][:n_tri]
+            p2 = p0 + np_tri["tri_e2"][:n_tri]
+            bmin = np.minimum(np.minimum(p0, p1), p2)
+            bmax = np.maximum(np.maximum(p0, p1), p2)
+            node_min, node_max, node_child, node_count, order = _wide_bvh(
+                bmin, bmax
+            )
+            perm = np.arange(Tpad)
+            perm[:n_tri] = order
+            tri_inv_order = np.empty(Tpad, np.int64)
+            tri_inv_order[perm] = np.arange(Tpad)
+            np_tri = {k: v[perm] for k, v in np_tri.items()}
+            bvh_np = (node_min, node_max, node_child, node_count)
+
         geometry_tri = _pack_triangles(np_tri, Tpad, f, i32)
 
         Spad = max(8, -(-max(n_sph, 1) // 8) * 8)
@@ -396,6 +424,12 @@ class SceneBuilder:
             )
             shape_kind = np.array([l.get("shape_kind", 0) for l in self._lights])
             shape_idx = np.array([l.get("shape_idx", 0) for l in self._lights])
+            if tri_inv_order is not None:
+                is_tri = (tag == T.LIGHT_AREA) & (shape_kind == T.SHAPE_TRI)
+                shape_idx = np.where(
+                    is_tri, tri_inv_order[np.clip(shape_idx, 0, Tpad - 1)],
+                    shape_idx,
+                )
             area = np.array([l.get("area", 0.0) for l in self._lights])
             lum = (
                 intensity[:, 0] * 0.212671
@@ -489,20 +523,21 @@ class SceneBuilder:
             camera=self.camera,
         )
 
-        scene = T.Scene(
+        bvh = None
+        if bvh_np is not None:
+            bvh = T.BVHArrays(
+                node_min=jnp.asarray(bvh_np[0]),
+                node_max=jnp.asarray(bvh_np[1]),
+                node_child=jnp.asarray(bvh_np[2]),
+                node_count=jnp.asarray(bvh_np[3]),
+            )
+        return T.Scene(
             geometry=geometry,
             materials=materials,
             lights=lights,
             textures=textures,
             background=f(self.background),
             envmap=self.envmap,
-            bvh=None,
+            bvh=bvh,
             meta=meta,
         )
-        if build_bvh == "auto":
-            build_bvh = n_tri + n_sph > 256
-        if build_bvh:
-            from take_tpu.geometry.bvh import build_scene_bvh
-
-            scene = build_scene_bvh(scene)
-        return scene
