@@ -23,6 +23,30 @@ import numpy as np
 WIDTH = 8  # children per node
 LEAF_SIZE = 16  # max primitives per leaf
 
+# Triangles per cluster for the streaming cull+sweep pipeline
+# (geometry/pallas_cluster.py). Clusters are consecutive runs of the
+# Morton-ordered triangle array; CLUSTER_K divides every padded table size
+# (Tpad is a multiple of 128).
+CLUSTER_K = 64
+
+
+def cluster_aabbs(bmin: np.ndarray, bmax: np.ndarray, n_tri: int) -> np.ndarray:
+    """Cluster AABB table [Cpad, 8] = (min.xyz, max.xyz, 0, 0) over runs of
+    CLUSTER_K Morton-ordered triangles. bmin/bmax are per-triangle AABBs in
+    final (reordered) order, length >= n_tri. Padding clusters get inverted
+    boxes so slab tests always miss."""
+    C = max(1, -(-n_tri // CLUSTER_K))
+    Cpad = max(8, -(-C // 8) * 8)
+    out = np.zeros((Cpad, 8), np.float32)
+    out[:, 0:3] = 3e38
+    out[:, 3:6] = -3e38
+    for c in range(C):
+        s, e = c * CLUSTER_K, min((c + 1) * CLUSTER_K, n_tri)
+        if e > s:
+            out[c, 0:3] = bmin[s:e].min(axis=0)
+            out[c, 3:6] = bmax[s:e].max(axis=0)
+    return out
+
 
 @dataclass
 class _BuildNode:
@@ -152,35 +176,7 @@ def build_bvh(bbox_min: np.ndarray, bbox_max: np.ndarray):
     return node_min, node_max, node_child, node_count, order
 
 
-def build_scene_bvh(scene):
-    """Attach BVHArrays to a Scene (triangle soup only; spheres are swept
-    brute-force — scenes have few)."""
-    import jax.numpy as jnp
-
-    from take_tpu.scene.types import BVHArrays
-
-    g = scene.geometry
-    n_tri = scene.meta.n_tri
-    v0 = np.asarray(g.tri_v0)[:n_tri]
-    e1 = np.asarray(g.tri_e1)[:n_tri]
-    e2 = np.asarray(g.tri_e2)[:n_tri]
-    p1 = v0 + e1
-    p2 = v0 + e2
-    bmin = np.minimum(np.minimum(v0, p1), p2)
-    bmax = np.maximum(np.maximum(v0, p1), p2)
-    node_min, node_max, node_child, node_count, order = build_bvh(bmin, bmax)
-
-    # reorder triangle tables so leaves are contiguous (then rebuild the
-    # packed operands for the new order)
-    import dataclasses
-
-    from take_tpu.scene.build import repack_triangles
-
-    scene = repack_triangles(scene, order)
-    bvh = BVHArrays(
-        node_min=jnp.asarray(node_min),
-        node_max=jnp.asarray(node_max),
-        node_child=jnp.asarray(node_child),
-        node_count=jnp.asarray(node_count),
-    )
-    return dataclasses.replace(scene, bvh=bvh)
+# NOTE: BVH attach happens inside SceneBuilder.build(build_bvh=True) — the
+# triangle permutation + light remap live there, on host numpy, BEFORE the
+# device upload (a post-hoc repack would round-trip device arrays). There is
+# deliberately no second attach path.

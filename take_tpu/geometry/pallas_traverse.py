@@ -273,6 +273,9 @@ def packet_traverse(nodes, tris, ro, rd, tmin, tmax, interpret: bool = False):
             jax.ShapeDtypeStruct((n_blocks, 1, BLOCK), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        # resident tables are gated at 88MB physical (traverse.py); the
+        # default 16MB scoped-VMEM budget is far too small for them
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
     )(nodes, tris, ro_t, rd_t, tmin_t, tmax_t)
 

@@ -23,8 +23,11 @@ STACK = 48
 _BIG = jnp.float32(3.4e38)
 
 # VMEM budget for the packet kernel's resident tables (node boxes + triangle
-# affine operands); beyond this the while-loop path streams from HBM instead.
-_PACKET_VMEM_BYTES = 10 * 2**20
+# affine operands). The chip has ~128MB VMEM (measured on v5e); the kernel
+# requests a 110MB scoped budget, and this gate leaves headroom for ray
+# blocks, outputs, and Mosaic temporaries. Beyond it the streaming cluster
+# pipeline (HBM-resident triangles) takes over.
+_PACKET_VMEM_BYTES = 88 * 2**20
 
 
 def _packet_eligible(scene: Scene) -> bool:
@@ -187,12 +190,49 @@ def _traverse(scene: Scene, ro, rd, tmin, tmax, any_hit: bool):
     return best_t, best_u, best_v, best_prim, found
 
 
+def _cluster_eligible(scene: Scene) -> bool:
+    """Trace-time gate for the streaming cluster pipeline: TPU backend with
+    cluster tables present. Unlike the packet kernel there is NO size cap —
+    triangle operands stream from HBM (pallas_cluster.py docstring)."""
+    return (
+        config.PALLAS_CLUSTER
+        and jax.default_backend() == "tpu"
+        and scene.bvh is not None
+        and getattr(scene.bvh, "cl_aabb", None) is not None
+        and scene.meta.n_tri > 0
+    )
+
+
+def _cluster_query(scene: Scene, ro, rd, tmin, tmax, any_hit: bool):
+    from take_tpu.geometry.intersect import _pad_rays
+    from take_tpu.geometry.pallas_cluster import BLOCK as CBLOCK
+    from take_tpu.geometry.pallas_cluster import cluster_traverse
+
+    N, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, CBLOCK)
+    out = cluster_traverse(
+        scene.bvh.cl_aabb,
+        scene.geometry.tri_sweep,
+        ro_p,
+        rd_p,
+        tmin_p,
+        tmax_p,
+        any_hit=any_hit,
+        sort_rays=config.CLUSTER_SORT,
+    )
+    if any_hit:
+        return out[:N]
+    t, u, v, prim = out
+    t, u, v, prim = t[:N], u[:N], v[:N], prim[:N]
+    return t, u, v, prim, prim >= 0
+
+
 def _traverse_backend(scene: Scene, ro, rd, tmin, tmax):
-    """(t, u, v, prim, found) from the packet kernel (TPU, tables fit VMEM)
-    or the jnp while-loop. Inputs are DETACHED: lax.while_loop is not
-    reverse-differentiable and the Pallas kernel is primal-only, so traversal
-    treats geometry/visibility as constant under AD — matching the brute
-    path's stop-gradded geometry. Emission stays differentiable through the
+    """(t, u, v, prim, found) from the packet kernel (TPU, tables fit VMEM),
+    the streaming cluster pipeline (TPU, any size), or the jnp while-loop.
+    Inputs are DETACHED: lax.while_loop is not reverse-differentiable and
+    the Pallas kernels are primal-only, so traversal treats
+    geometry/visibility as constant under AD — matching the brute path's
+    stop-gradded geometry. Emission stays differentiable through the
     attribute gather in bvh_intersect."""
     sg = jax.lax.stop_gradient
     scene, ro, rd = sg(scene), sg(ro), sg(rd)
@@ -212,6 +252,8 @@ def _traverse_backend(scene: Scene, ro, rd, tmin, tmax):
         )
         t, u, v, prim = t[:N], u[:N], v[:N], prim[:N]
         return t, u, v, prim, prim >= 0
+    if _cluster_eligible(scene):
+        return _cluster_query(scene, ro, rd, tmin, tmax, any_hit=False)
     return _traverse(scene, ro, rd, tmin, tmax, any_hit=False)
 
 
@@ -238,12 +280,16 @@ def bvh_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
 def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
     from take_tpu.geometry.intersect import _sph_t
 
+    sg = jax.lax.stop_gradient
     if _packet_eligible(scene):
         # closest-hit within [tmin, tmax] doubles as any-hit (the reference's
         # scene_occluded is a full closest-hit too, scene.cpp:49-63)
         *_, found = _traverse_backend(scene, ro, rd, tmin, tmax)
+    elif _cluster_eligible(scene):
+        found = _cluster_query(
+            sg(scene), sg(ro), sg(rd), sg(tmin), sg(tmax), any_hit=True
+        )
     else:
-        sg = jax.lax.stop_gradient
         *_, found = _traverse(
             sg(scene), sg(ro), sg(rd), sg(tmin), sg(tmax), any_hit=True
         )

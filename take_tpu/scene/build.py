@@ -71,6 +71,16 @@ def _pack_triangles(np_tri, Tpad, f, i32):
         aff_d[:, cols] = Minv[:, k, :].T  # [3, T]
         aff_o[:3, cols] = Minv[:, k, :].T
         aff_o[3, cols] = -np.einsum("tj,tj->t", Minv[:, k, :], v0)
+    # row-major sweep view of the same operands (one sublane per triangle)
+    # for the Pallas cluster pipeline; padded to a whole number of clusters.
+    from take_tpu.geometry.bvh import CLUSTER_K
+
+    Tsw = -(-Tpad // CLUSTER_K) * CLUSTER_K
+    sweep = np.zeros((Tsw, 24))
+    for k in range(3):
+        cols = slice(k * Tpad, (k + 1) * Tpad)
+        sweep[:Tpad, 4 * k : 4 * k + 4] = aff_o[:, cols].T
+        sweep[:Tpad, 12 + 3 * k : 15 + 3 * k] = aff_d[:, cols].T
     nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
     geo_n = nrm / np.where(nlen > 0, nlen, 1.0)
     attr = np.zeros((Tpad, T.ATTR_DIM))
@@ -91,52 +101,10 @@ def _pack_triangles(np_tri, Tpad, f, i32):
     attr[:, T.ATTR_INV_AREA] = np.where(area > 0, 1.0 / np.maximum(area, 1e-30), 0.0)
     geometry_tri["tri_affine_o"] = f(aff_o)
     geometry_tri["tri_affine_d"] = f(aff_d)
+    geometry_tri["tri_sweep"] = f(sweep)
     geometry_tri["tri_attr"] = f(attr)
     geometry_tri.pop("tri_emit", None)
     return geometry_tri
-
-
-def repack_triangles(scene, order):
-    """Reorder the first n_tri triangles by `order` (BVH leaf clustering) and
-    rebuild the packed tables; remaps light.shape_idx accordingly."""
-    import dataclasses
-
-    import jax.numpy as jnp
-
-    g = scene.geometry
-    n_tri = scene.meta.n_tri
-    Tpad = np.asarray(g.tri_attr).shape[0]
-    perm = np.arange(Tpad)
-    perm[:n_tri] = np.asarray(order)
-    inv = np.empty(Tpad, np.int64)
-    inv[perm] = np.arange(Tpad)
-
-    np_tri = {}
-    for k in (
-        "tri_v0", "tri_e1", "tri_e2", "tri_n0", "tri_n1", "tri_n2",
-        "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat", "tri_light", "tri_flags",
-    ):
-        np_tri[k] = np.asarray(getattr(g, k), np.float64)[perm] if k not in (
-            "tri_mat", "tri_light", "tri_flags"
-        ) else np.asarray(getattr(g, k))[perm]
-    np_tri["tri_emit"] = np.asarray(g.tri_attr, np.float64)[
-        :, T.ATTR_EMIT : T.ATTR_EMIT + 3
-    ][perm]
-
-    f = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
-    i32 = lambda x: jnp.asarray(np.asarray(x), jnp.int32)
-    geometry_tri = _pack_triangles(np_tri, Tpad, f, i32)
-    geometry = dataclasses.replace(g, **geometry_tri)
-
-    # remap area-light shape references into the new triangle order
-    L = scene.lights
-    shape_idx = np.asarray(L.shape_idx).copy()
-    is_tri_light = (np.asarray(L.tag) == T.LIGHT_AREA) & (
-        np.asarray(L.shape_kind) == T.SHAPE_TRI
-    )
-    shape_idx[is_tri_light] = inv[shape_idx[is_tri_light]]
-    lights = dataclasses.replace(L, shape_idx=i32(shape_idx))
-    return dataclasses.replace(scene, geometry=geometry, lights=lights)
 
 
 class SceneBuilder:
@@ -335,7 +303,10 @@ class SceneBuilder:
             tri_inv_order = np.empty(Tpad, np.int64)
             tri_inv_order[perm] = np.arange(Tpad)
             np_tri = {k: v[perm] for k, v in np_tri.items()}
-            bvh_np = (node_min, node_max, node_child, node_count)
+            from take_tpu.geometry.bvh import cluster_aabbs
+
+            cl_aabb = cluster_aabbs(bmin[order], bmax[order], n_tri)
+            bvh_np = (node_min, node_max, node_child, node_count, cl_aabb)
 
         geometry_tri = _pack_triangles(np_tri, Tpad, f, i32)
 
@@ -530,6 +501,7 @@ class SceneBuilder:
                 node_max=jnp.asarray(bvh_np[1]),
                 node_child=jnp.asarray(bvh_np[2]),
                 node_count=jnp.asarray(bvh_np[3]),
+                cl_aabb=jnp.asarray(bvh_np[4]),
             )
         return T.Scene(
             geometry=geometry,

@@ -100,6 +100,11 @@ class GeometryArrays:
     # [N, 2T:]=w slices.
     tri_affine_o: Any  # [4, 3T]  homogeneous origin map
     tri_affine_d: Any  # [3, 3T]  direction map
+    # Row-major view of the same affine operands for the Pallas sweep kernels
+    # (one sublane per triangle): row t = (o_u[4], o_v[4], o_w[4], d_u[3],
+    # d_v[3], d_w[3], pad3). Padded rows are all-zero => dd_w == 0 => the
+    # parallel-ray reject masks them, so no extra count masking is needed.
+    tri_sweep: Any  # [ceil(T/K)*K, 24]  (K = pallas_cluster.CLUSTER_K)
     tri_attr: Any  # [T, ATTR_DIM] packed shading attributes
     sph_center: Any  # [S, 3]
     sph_radius: Any  # [S]
@@ -226,6 +231,11 @@ class BVHArrays:
     node_max: Any  # [NODES, W, 3] child box maxima
     node_child: Any  # [NODES, W] int32: >=0 internal node id, <0 ~leaf encoding
     node_count: Any  # [NODES, W] int32: leaf primitive count (0 for internal)
+    # Flat cluster AABBs for the streaming cull+sweep pipeline
+    # (geometry/pallas_cluster.py): cluster c covers the Morton-ordered
+    # triangle run [c*K, (c+1)*K). Row = (min.xyz, max.xyz, 0, 0); padding
+    # clusters carry inverted boxes so every slab test misses.
+    cl_aabb: Any  # [Cpad, 8] f32
 
 
 @dataclass(frozen=True)

@@ -7,13 +7,15 @@ import jax.numpy as jnp
 import pytest
 
 from take_tpu.core.camera import Camera
-from take_tpu.geometry.bvh import build_bvh, build_scene_bvh
+from take_tpu.geometry.bvh import build_bvh
 from take_tpu.geometry.intersect import intersect_scene, occluded
 from take_tpu.scene.build import SceneBuilder
 from take_tpu.scene.types import MAT_DIFFUSE
 
 
-def random_soup_scene(n_tri=700, seed=0, spread=10.0):
+def random_soup_scene(n_tri=700, seed=0, spread=10.0, build_bvh=False):
+    """Deterministic triangle soup; call twice with build_bvh False/True to
+    get brute-force and BVH views of the SAME geometry (builds are pure)."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
     b.camera = Camera(8, 8, (0, 0, 30), (0, 0, 0), (0, 1, 0), 45.0)
@@ -22,7 +24,7 @@ def random_soup_scene(n_tri=700, seed=0, spread=10.0):
     for c in centers:
         v = c + rng.uniform(-0.8, 0.8, (3, 3))
         b.add_mesh(v, np.array([[0, 1, 2]]), m)
-    return b.build(build_bvh=False)
+    return b.build(build_bvh=build_bvh)
 
 
 def test_build_bvh_structure():
@@ -45,7 +47,7 @@ def test_build_bvh_structure():
 @pytest.mark.parametrize("n_tri", [50, 700])
 def test_traversal_matches_brute_force(n_tri, rng_np):
     scene_bf = random_soup_scene(n_tri)
-    scene_bvh = build_scene_bvh(scene_bf)
+    scene_bvh = random_soup_scene(n_tri, build_bvh=True)
     assert scene_bvh.bvh is not None
 
     N = 2000
@@ -83,7 +85,7 @@ def test_render_with_bvh_matches_brute_force():
     from tests.scenes import cornell_box
 
     scene_bf = cornell_box(width=16, height=16).build(build_bvh=False)
-    scene_bvh = build_scene_bvh(scene_bf)
+    scene_bvh = cornell_box(width=16, height=16).build(build_bvh=True)
     opts = RenderOptions(spp=32, max_depth=3, seed=5)
     a = render_image(scene_bf, opts)
     b = render_image(scene_bvh, opts)

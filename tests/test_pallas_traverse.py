@@ -5,7 +5,6 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from take_tpu.geometry.bvh import build_scene_bvh
 from take_tpu.geometry.intersect import intersect_scene
 from take_tpu.geometry.pallas_traverse import BLOCK, packet_traverse, prep_tables
 
@@ -14,7 +13,7 @@ from tests.test_bvh import random_soup_scene
 
 @pytest.mark.parametrize("n_tri", [120, 1500])
 def test_packet_matches_whileloop(n_tri, rng_np):
-    scene = build_scene_bvh(random_soup_scene(n_tri))
+    scene = random_soup_scene(n_tri, build_bvh=True)
     N = 2 * BLOCK
     ro = jnp.asarray(rng_np.uniform(-15, 15, (N, 3)), jnp.float32)
     d = rng_np.normal(size=(N, 3))
