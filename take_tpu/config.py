@@ -30,14 +30,12 @@ INF = float("inf")
 # the first jit trace (or clear jit caches) for it to take effect.
 PALLAS_BRUTE = True
 
-# Streaming cluster cull+sweep traversal (geometry/pallas_cluster.py) for
-# BVH scenes on TPU: triangle tables stay in HBM, so any scene size works.
-# Trace-time switch like PALLAS_BRUTE.
+# Streaming two-level cull+sweep traversal (geometry/pallas_cluster.py) for
+# BVH scenes on TPU: triangle tables stay in HBM, so any scene size works,
+# and per-block work is bounded at cluster granularity (robust to
+# direction-incoherent bounce waves, unlike the packet kernel). Trace-time
+# switch like PALLAS_BRUTE.
 PALLAS_CLUSTER = True
-
-# Stable (origin-Morton, direction-octant) ray sort inside cluster traversal
-# to restore packet coherence for bounce waves. Never changes results.
-CLUSTER_SORT = True
 
 
 def enable_compile_cache(path="/tmp/take_tpu_jax_cache"):

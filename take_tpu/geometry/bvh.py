@@ -23,20 +23,27 @@ import numpy as np
 WIDTH = 8  # children per node
 LEAF_SIZE = 16  # max primitives per leaf
 
-# Triangles per cluster for the streaming cull+sweep pipeline
-# (geometry/pallas_cluster.py). Clusters are consecutive runs of the
-# Morton-ordered triangle array; CLUSTER_K divides every padded table size
-# (Tpad is a multiple of 128).
+# Streaming cull+sweep pipeline granularities (geometry/pallas_cluster.py).
+# Clusters are consecutive runs of CLUSTER_K Morton-ordered triangles;
+# superclusters group SUP consecutive clusters (the HBM->VMEM DMA granule).
 CLUSTER_K = 64
+SUP = 8
 
 
-def cluster_aabbs(bmin: np.ndarray, bmax: np.ndarray, n_tri: int) -> np.ndarray:
-    """Cluster AABB table [Cpad, 8] = (min.xyz, max.xyz, 0, 0) over runs of
-    CLUSTER_K Morton-ordered triangles. bmin/bmax are per-triangle AABBs in
-    final (reordered) order, length >= n_tri. Padding clusters get inverted
-    boxes so slab tests always miss."""
+def cluster_pad(n_tri: int) -> int:
+    """Padded cluster count: covers n_tri and is a multiple of SUP."""
     C = max(1, -(-n_tri // CLUSTER_K))
-    Cpad = max(8, -(-C // 8) * 8)
+    return max(SUP, -(-C // SUP) * SUP)
+
+
+def cluster_aabbs(bmin: np.ndarray, bmax: np.ndarray, n_tri: int):
+    """(cl_aabb [Cpad, 8], sup_aabb [Cpad/SUP, 8]) AABB tables, rows =
+    (min.xyz, max.xyz, 0, 0), over runs of Morton-ordered triangles.
+    bmin/bmax are per-triangle AABBs in final (reordered) order, length
+    >= n_tri. Padding clusters get inverted boxes so slab tests always
+    miss."""
+    C = max(1, -(-n_tri // CLUSTER_K))
+    Cpad = cluster_pad(n_tri)
     out = np.zeros((Cpad, 8), np.float32)
     out[:, 0:3] = 3e38
     out[:, 3:6] = -3e38
@@ -45,7 +52,10 @@ def cluster_aabbs(bmin: np.ndarray, bmax: np.ndarray, n_tri: int) -> np.ndarray:
         if e > s:
             out[c, 0:3] = bmin[s:e].min(axis=0)
             out[c, 3:6] = bmax[s:e].max(axis=0)
-    return out
+    sup = np.zeros((Cpad // SUP, 8), np.float32)
+    sup[:, 0:3] = out[:, 0:3].reshape(-1, SUP, 3).min(axis=1)
+    sup[:, 3:6] = out[:, 3:6].reshape(-1, SUP, 3).max(axis=1)
+    return out, sup
 
 
 @dataclass

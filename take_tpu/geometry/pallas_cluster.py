@@ -1,35 +1,40 @@
-"""Streaming cluster cull+sweep BVH-free traversal (TPU Pallas).
+"""Streaming two-level cull+sweep traversal for beyond-VMEM scenes (TPU).
 
-This is the beyond-VMEM traversal path: it matches the reference's
-any-scene-size capability (bvh.cpp:86-109) with a design that maps onto the
-TPU's strengths instead of its weaknesses. Per-node pointer chasing (packet
-kernel, pallas_traverse.py) serializes on a scalar stack and requires the
-whole scene resident in VMEM; here traversal is recast as three dense,
-regular stages with *zero* in-kernel control flow:
+This is the any-scene-size traversal path — the capability match for the
+reference's recursive BVH (bvh.cpp:86-109) — designed around what the TPU
+does well (dense [rows, lanes] VPU sweeps, large contiguous DMA) and what it
+cannot do (per-lane pointer chasing). Triangle data stays in HBM; scene size
+is bounded by HBM, not VMEM. Compared to the packet kernel
+(pallas_traverse.py), which collapses ~1000x on direction-incoherent bounce
+waves (any-hit-pushes make every 256-ray packet traverse the whole tree),
+work here is bounded per 128-ray block at CLUSTER granularity:
 
-  1. CULL kernel — every block of B rays slab-tests ALL cluster AABBs
-     (clusters = consecutive runs of CLUSTER_K Morton-ordered triangles, so
-     they are spatially tight). Output: a dense [n_blocks, C] hit mask.
-     Pure [C, B] VPU work, boxes resident in VMEM (32 B/cluster).
-  2. XLA glue — cumsum-compaction of the mask into a block-major
-     (block, cluster) pair list. The pair count P feeds a *dynamic* Pallas
-     grid, so no padding work is executed and no pairs are ever dropped.
-  3. SWEEP kernel — grid over pairs; each step streams one cluster's
-     triangle operands HBM->VMEM (Pallas pipeline double-buffers the DMA
-     under compute) and runs a dense [K, B] Möller–Trumbore in f32 VPU
-     component form. Consecutive pairs share a ray block, so the per-block
-     best-hit accumulator lives in the revisited VMEM output block.
+  1. CULL kernel — every 128-ray block slab-tests all SUPERCLUSTER AABBs
+     (a supercluster = SUP consecutive Morton-ordered clusters = SUP*K
+     triangles). Output: dense [nb, Csup] hit mask. Small table, pure VPU.
+  2. XLA glue — each mask row is turned into an ascending hit-index list
+     (one lax.sort along the tiny supercluster axis) + count: a fixed-shape
+     [nb, 1 + CsupP] int32 "suplist". No dynamic grids anywhere.
+  3. SWEEP kernel — grid over ray blocks (static). Each block loops over
+     its listed superclusters: the supercluster's triangle rows stream
+     HBM->VMEM through a manually double-buffered async copy (48KB
+     contiguous per supercluster), its SUP cluster boxes are re-tested
+     against the block from the VMEM-resident cluster-AABB table, and only
+     clusters some ray hits run the dense [K, 128] Moeller-Trumbore sweep
+     (lax.cond-skipped otherwise). best-t shrinks as hits land, culling
+     later boxes.
 
-Triangle data therefore lives in HBM always — scene size is bounded by HBM,
-not VMEM. Ray coherence (which controls how close the block's cluster
-*union* is to the per-ray average) is restored for bounce waves by a stable
-sort on (origin-Morton, direction-octant) keys; per-ray results are a pure
-function of the ray, so sorting never changes the image.
+Every Mosaic feature used here (SMEM scalar lists, lax.cond predication,
+dynamic sublane slices with multiple-of-8 starts, async HBM DMA) is the
+conservative, long-supported subset; the previous revision of this file
+used dynamic grids + scalar prefetch windows, which compiled standalone but
+aborted the TPU backend when embedded in the integrator's bounce loop.
 
 Determinism: the winner is the lowest-t hit with ties broken toward the
-lowest primitive index (per-cluster argmin takes the first row; the
-cross-cluster merge is strict `<` over ascending cluster ids), so results
-are independent of block grouping, sorting, and device count.
+lowest primitive index (superclusters ascend, clusters within a
+supercluster ascend, per-cluster argmin takes the first row, cross-cluster
+merges use strict `<`), so results are independent of block grouping and
+device count.
 """
 
 import functools
@@ -39,15 +44,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from take_tpu.geometry.bvh import CLUSTER_K
+from take_tpu.geometry.bvh import CLUSTER_K, SUP
 
-BLOCK = 512  # rays per block (4 lane-tiles)
-_CULL_CHUNK = 2048  # max cluster rows slab-tested per cull grid step
-# Pairs per sweep round: the pair metadata is scalar-prefetched into SMEM
-# (~1MB total), so each pallas_call sees a fixed-size window; rounds loop
-# under lax.fori_loop until the dynamic pair count is drained. 32k pairs
-# x 2 int32 arrays = 256KB SMEM.
-_PAIRS_PER_ROUND = 32768
+BLOCK = 128  # rays per block: one lane tile; small blocks keep the
+# per-block cluster union close to the per-ray average on incoherent waves
+SUPT = SUP * CLUSTER_K  # triangles per supercluster (DMA granule)
 _BIG = 3.4e38
 _DW_EPS = 1e-12  # parallel-ray reject, matches intersect.py
 
@@ -70,41 +71,51 @@ def _ray_components(rays_ref):
     return ox, oy, oz, dx, dy, dz, tmin, tmax
 
 
-def _cull_kernel(rays_ref, boxes_ref, mask_ref):
-    """Slab-test one ray block against one chunk of cluster AABBs.
-
-    rays [1, 8, B]; boxes [CC, 8] = (min.xyz, max.xyz, 0, 0);
-    mask out [1, CC, 1] = 1.0 where ANY ray in the block hits the box.
-    Inclusive-range semantics match bbox.h:18-32 / traverse.py::_slab_test.
-    """
-    ox, oy, oz, dx, dy, dz, tmin, tmax = _ray_components(rays_ref)
+def _inv_dir(dx, dy, dz):
     ix = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
     iy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
     iz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
+    return ix, iy, iz
+
+
+def _slab_rows(boxes, ox, oy, oz, ix, iy, iz, tmin, tcap):
+    """Slab-test box rows [R, 8] against a ray block -> [R, B] hit mask.
+
+    Inclusive-range semantics match bbox.h:18-32 / traverse.py::_slab_test.
+    """
 
     def axis(lo_col, hi_col, o, inv):
-        a = (lo_col - o) * inv  # [CC, B]
+        a = (lo_col - o) * inv  # [R, B]
         b = (hi_col - o) * inv
         return jnp.minimum(a, b), jnp.maximum(a, b)
 
-    l0, h0 = axis(boxes_ref[:, 0:1], boxes_ref[:, 3:4], ox, ix)
-    l1, h1 = axis(boxes_ref[:, 1:2], boxes_ref[:, 4:5], oy, iy)
-    l2, h2 = axis(boxes_ref[:, 2:3], boxes_ref[:, 5:6], oz, iz)
+    l0, h0 = axis(boxes[:, 0:1], boxes[:, 3:4], ox, ix)
+    l1, h1 = axis(boxes[:, 1:2], boxes[:, 4:5], oy, iy)
+    l2, h2 = axis(boxes[:, 2:3], boxes[:, 5:6], oz, iz)
     tlo = jnp.maximum(jnp.maximum(l0, l1), l2)
     thi = jnp.minimum(jnp.minimum(h0, h1), h2)
-    hit = (tlo <= thi) & (thi >= tmin) & (tlo <= tmax)
+    return (tlo <= thi) & (thi >= tmin) & (tlo <= tcap)
+
+
+def _cull_kernel(rays_ref, boxes_ref, mask_ref):
+    """One ray block vs one chunk of supercluster AABBs -> any-ray hit mask.
+
+    rays [1, 8, B]; boxes [CC, 8] = (min.xyz, max.xyz, 0, 0);
+    mask out [1, CC, 1] = 1.0 where ANY ray in the block hits the box.
+    """
+    ox, oy, oz, dx, dy, dz, tmin, tmax = _ray_components(rays_ref)
+    ix, iy, iz = _inv_dir(dx, dy, dz)
+    hit = _slab_rows(boxes_ref[:], ox, oy, oz, ix, iy, iz, tmin, tmax)
     mask_ref[0, :, :] = jnp.any(hit, axis=1, keepdims=True).astype(jnp.float32)
 
 
-def _mt_sweep(tris_ref, ox, oy, oz, dx, dy, dz, tmin, tmax):
-    """Dense [K, B] Möller–Trumbore over one cluster's affine operands.
+def _mt_cluster(blk, ox, oy, oz, dx, dy, dz, tmin, tcap):
+    """Dense [K, B] Moeller-Trumbore over one cluster's affine operands.
 
-    VPU component form (no matmuls: the contraction depth is 4, which would
-    run the MXU at ~3% utilization; broadcast-FMA chains are ~10x faster
-    here). Exact f32 — identical semantics to intersect.py::_tri_uvt.
-    Returns (t, u, v, ok).
+    VPU component form (the contraction depth is 3-4 — matmul form would run
+    the MXU at ~3% utilization; broadcast-FMA chains win). Exact f32 —
+    identical semantics to intersect.py::_tri_uvt. Returns (t, u, v, ok).
     """
-    blk = tris_ref[:]  # [K, 24]
     su = blk[:, 0:1] * ox + blk[:, 1:2] * oy + blk[:, 2:3] * oz + blk[:, 3:4]
     sv = blk[:, 4:5] * ox + blk[:, 5:6] * oy + blk[:, 6:7] * oz + blk[:, 7:8]
     sw = blk[:, 8:9] * ox + blk[:, 9:10] * oy + blk[:, 10:11] * oz + blk[:, 11:12]
@@ -124,65 +135,172 @@ def _mt_sweep(tris_ref, ox, oy, oz, dx, dy, dz, tmin, tmax):
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t >= tmin)
-        & (t <= tmax)
+        & (t <= tcap)
     )
     return t, u, v, ok
 
 
 def _sweep_kernel(
-    bidf_ref, cid_ref, rays_ref, tris_ref, t_ref, u_ref, v_ref, p_ref
+    suplist_ref,  # SMEM [1, 1 + CsupP] int32: (count, ascending sup ids...)
+    rays_ref,  # VMEM [1, 8, B]
+    cl_ref,  # VMEM [Cpad, 8] cluster AABBs (whole table resident)
+    tri_hbm,  # ANY  [Tsw, 24] triangle affine operands (stays in HBM)
+    t_ref,  # out [1, 1, B]
+    u_ref,
+    v_ref,
+    p_ref,  # out [1, 1, B] int32
+    tris,  # VMEM scratch [2, SUPT, 24] — double-buffered DMA landing
+    sem,  # DMA semaphores (2,)
 ):
-    """Closest-hit sweep of one (ray block, cluster) pair.
-
-    bidf packs (block_id << 1) | first_visit. Outputs are revisited
-    accumulators: pairs are block-major, so all pairs of a block hit the
-    same VMEM-resident output block; `first` initializes.
-    """
-    i = pl.program_id(0)
     ox, oy, oz, dx, dy, dz, tmin, tmax = _ray_components(rays_ref)
+    ix, iy, iz = _inv_dir(dx, dy, dz)
+    cnt = suplist_ref[0, 0]
 
-    @pl.when((bidf_ref[i] & 1) == 1)
+    def get_dma(slot, j):
+        sup = suplist_ref[0, 1 + j]
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(sup * SUPT, SUPT), :],
+            tris.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(cnt > 0)
     def _():
-        t_ref[0, :, :] = jnp.full(tmin.shape, _BIG)
-        u_ref[0, :, :] = jnp.zeros(tmin.shape)
-        v_ref[0, :, :] = jnp.zeros(tmin.shape)
-        p_ref[0, :, :] = jnp.full(tmin.shape, -1, jnp.int32)
+        get_dma(0, 0).start()
 
-    t, u, v, ok = _mt_sweep(tris_ref, ox, oy, oz, dx, dy, dz, tmin, tmax)
-    tcur = t_ref[0, :, :]
-    tm = jnp.where(ok & (t < tcur), t, _BIG)
-    best = jnp.argmin(tm, axis=0)  # [B] lowest row wins ties (lowest prim)
-    tnew = jnp.min(tm, axis=0)[None, :]  # [1, B]
-    lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-    onehot = (lane == best[None, :]).astype(tm.dtype)
-    unew = jnp.sum(u * onehot, axis=0)[None, :]
-    vnew = jnp.sum(v * onehot, axis=0)[None, :]
-    better = tnew < tcur
-    prim = cid_ref[i] * CLUSTER_K + best[None, :]
-    t_ref[0, :, :] = jnp.where(better, tnew, tcur)
-    u_ref[0, :, :] = jnp.where(better, unew, u_ref[0, :, :])
-    v_ref[0, :, :] = jnp.where(better, vnew, v_ref[0, :, :])
-    p_ref[0, :, :] = jnp.where(better, prim, p_ref[0, :, :])
+    def sup_body(j, carry):
+        t_best, u_best, v_best, p_best = carry
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < cnt)
+        def _():
+            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        get_dma(slot, j).wait()
+        sup = suplist_ref[0, 1 + j]
+
+        # refine: this supercluster's SUP cluster boxes vs the block,
+        # capped by the current best t (progressive culling)
+        boxes = cl_ref[pl.ds(pl.multiple_of(sup * SUP, SUP), SUP), :]
+        hit = _slab_rows(boxes, ox, oy, oz, ix, iy, iz, tmin, t_best)
+        anyhit = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+
+        # static unroll over the SUP clusters; non-hit clusters cost one
+        # scalar test (lax.cond — the packet kernel's proven pattern)
+        for k in range(SUP):
+            def sweep(c, k=k):
+                t_b, u_b, v_b, p_b = c
+                blk = tris[slot, k * CLUSTER_K : (k + 1) * CLUSTER_K, :]
+                t, u, v, ok = _mt_cluster(
+                    blk, ox, oy, oz, dx, dy, dz, tmin, t_b
+                )
+                tm = jnp.where(ok, t, _BIG)
+                row = jnp.argmin(tm, axis=0)  # first (lowest) row on ties
+                tnew = jnp.min(tm, axis=0)[None, :]
+                lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+                onehot = (lane == row[None, :]).astype(tm.dtype)
+                unew = jnp.sum(u * onehot, axis=0)[None, :]
+                vnew = jnp.sum(v * onehot, axis=0)[None, :]
+                better = tnew < t_b  # strict: earlier cluster keeps ties
+                prim = (sup * SUP + k) * CLUSTER_K + row[None, :]
+                return (
+                    jnp.where(better, tnew, t_b),
+                    jnp.where(better, unew, u_b),
+                    jnp.where(better, vnew, v_b),
+                    jnp.where(better, prim, p_b),
+                )
+
+            carry2 = (t_best, u_best, v_best, p_best)
+            t_best, u_best, v_best, p_best = jax.lax.cond(
+                anyhit[k, 0] > 0, sweep, lambda c: c, carry2
+            )
+        return (t_best, u_best, v_best, p_best)
+
+    init = (
+        jnp.full(tmin.shape, _BIG),
+        jnp.zeros(tmin.shape),
+        jnp.zeros(tmin.shape),
+        jnp.full(tmin.shape, -1, jnp.int32),
+    )
+    t_best, u_best, v_best, p_best = jax.lax.fori_loop(
+        0, cnt, sup_body, init
+    )
+    ok = t_best <= tmax
+    t_ref[0, :, :] = jnp.where(ok, t_best, _BIG)
+    u_ref[0, :, :] = u_best
+    v_ref[0, :, :] = v_best
+    p_ref[0, :, :] = jnp.where(ok, p_best, -1)
 
 
-def _occluded_kernel(bidf_ref, cid_ref, rays_ref, tris_ref, occ_ref):
-    """Any-hit sweep: no best tracking, no u/v/prim epilogue — the TRUE
-    any-hit kernel the reference lacks (scene_occluded is a full closest
-    hit, scene.cpp:49-63 ⚠)."""
-    i = pl.program_id(0)
+def _occluded_kernel(
+    suplist_ref, rays_ref, cl_ref, tri_hbm, occ_ref, tris, sem
+):
+    """TRUE any-hit sweep (the kernel the reference lacks — its
+    scene_occluded is a full closest-hit, scene.cpp:49-63 ⚠): no best-hit
+    bookkeeping, and the supercluster loop exits as soon as every live ray
+    in the block is occluded."""
     ox, oy, oz, dx, dy, dz, tmin, tmax = _ray_components(rays_ref)
+    ix, iy, iz = _inv_dir(dx, dy, dz)
+    cnt = suplist_ref[0, 0]
 
-    @pl.when((bidf_ref[i] & 1) == 1)
+    def get_dma(slot, j):
+        sup = suplist_ref[0, 1 + j]
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(sup * SUPT, SUPT), :],
+            tris.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(cnt > 0)
     def _():
-        occ_ref[0, :, :] = jnp.zeros(tmin.shape, jnp.int32)
+        get_dma(0, 0).start()
 
-    _, _, _, ok = _mt_sweep(tris_ref, ox, oy, oz, dx, dy, dz, tmin, tmax)
-    any_k = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-    occ_ref[0, :, :] = occ_ref[0, :, :] | any_k
+    # live = rays that can still be hit (padding has tmax < tmin => dead)
+    live0 = (tmax >= tmin).astype(jnp.int32)
+
+    def cond(state):
+        j, occ, started_next = state
+        done = jnp.sum((occ == 0) & (live0 > 0)) == 0
+        return (j < cnt) & ~done
+
+    def body(state):
+        j, occ, started_next = state
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < cnt)
+        def _():
+            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        get_dma(slot, j).wait()
+        sup = suplist_ref[0, 1 + j]
+        boxes = cl_ref[pl.ds(pl.multiple_of(sup * SUP, SUP), SUP), :]
+        # only unoccluded rays keep testing (tcap stays tmax: any hit counts)
+        pend = (occ == 0) & (live0 > 0)
+        hit = _slab_rows(boxes, ox, oy, oz, ix, iy, iz, tmin, tmax) & pend
+        anyhit = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+
+        for k in range(SUP):
+            def sweep(o, k=k):
+                blk = tris[slot, k * CLUSTER_K : (k + 1) * CLUSTER_K, :]
+                _, _, _, ok = _mt_cluster(
+                    blk, ox, oy, oz, dx, dy, dz, tmin, tmax
+                )
+                return o | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+
+            occ = jax.lax.cond(anyhit[k, 0] > 0, sweep, lambda o: o, occ)
+        return (j + 1, occ, started_next)
+
+    # NOTE on the early exit + prefetch interaction: when the loop exits
+    # early, the prefetched next-supercluster DMA may still be in flight
+    # into the other slot; it targets scratch only and pallas waits for
+    # outstanding DMAs at kernel end, so this is benign.
+    state = (jnp.int32(0), jnp.zeros(tmin.shape, jnp.int32), jnp.int32(0))
+    _, occ, _ = jax.lax.while_loop(cond, body, state)
+    occ_ref[0, :, :] = occ
 
 
 # ---------------------------------------------------------------------------
-# host-level glue (all inside jit; shapes static, pair count dynamic)
+# host-level glue (all inside jit; every shape static)
 # ---------------------------------------------------------------------------
 
 
@@ -196,68 +314,48 @@ def _ray_blocks(ro, rd, tmin, tmax):
     return rows.reshape(8, nb, BLOCK).transpose(1, 0, 2)
 
 
-def _cull(rays, cl_aabb, interpret):
-    """[nb, Cp] f32 block-level cluster hit mask."""
+def _cull(rays, sup_aabb, interpret):
+    """[nb, CsupP] f32 block-level supercluster hit mask."""
     nb = rays.shape[0]
-    Cp = cl_aabb.shape[0]
-    cc = Cp if Cp <= _CULL_CHUNK else _CULL_CHUNK
-    if Cp % cc:
-        pad = -(-Cp // cc) * cc - Cp
-        filler = jnp.tile(
-            jnp.asarray([[3e38, 3e38, 3e38, -3e38, -3e38, -3e38, 0, 0]],
-                        cl_aabb.dtype),
-            (pad, 1),
-        )
-        cl_aabb = jnp.concatenate([cl_aabb, filler], axis=0)
-        Cp = cl_aabb.shape[0]
-    mask = pl.pallas_call(
+    Csup = sup_aabb.shape[0]
+    return pl.pallas_call(
         _cull_kernel,
-        grid=(nb, Cp // cc),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 8, BLOCK), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((cc, 8), lambda b, c: (c, 0)),
+            pl.BlockSpec((1, 8, BLOCK), lambda b: (b, 0, 0)),
+            pl.BlockSpec((Csup, 8), lambda b: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, cc, 1), lambda b, c: (b, c, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, Cp, 1), jnp.float32),
-        # [cc, B] f32 temporaries overflow the default 16MB scoped-VMEM
-        # budget; the chip has ~128MB (measured on v5e)
+        out_specs=pl.BlockSpec((1, Csup, 1), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, Csup, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20
         ),
         interpret=interpret,
-    )(rays, cl_aabb)
-    return mask[:, :, 0]
+    )(rays, sup_aabb)[:, :, 0]
 
 
-def _pairs_from_mask(mask):
-    """Compact a [nb, Cp] hit mask into a block-major pair list.
+def _suplists(mask):
+    """[nb, Csup] mask -> [nb, 1 + Csup] int32 rows of
+    (count, ascending hit supercluster ids, padding).
 
-    Returns (bidf, cid, n_pairs): bidf packs (block_id << 1) | first_visit.
-    Arrays are sized nb*Cp + _PAIRS_PER_ROUND (dense bound + slack so every
-    round's dynamic_slice stays in range); only the first n_pairs entries
-    are real, and only those grid steps execute (dynamic grid).
-    """
-    nb, Cp = mask.shape
-    maskb = mask.reshape(-1) > 0.5
-    pos = jnp.cumsum(maskb.astype(jnp.int32)) - 1
-    n_pairs = pos[-1] + 1
-    flat = jnp.arange(nb * Cp, dtype=jnp.int32)
-    psrc = (
-        jnp.zeros(nb * Cp + _PAIRS_PER_ROUND, jnp.int32)
-        .at[jnp.where(maskb, pos, nb * Cp + _PAIRS_PER_ROUND)]
-        .set(flat, mode="drop")
+    Padding entries are 0 (a valid id) but never read: the kernel loops
+    exactly `count` superclusters."""
+    nb, Csup = mask.shape
+    hit = mask > 0.5
+    ids = jnp.broadcast_to(
+        jnp.arange(Csup, dtype=jnp.int32)[None, :], (nb, Csup)
     )
-    bid = psrc // Cp
-    cid = psrc % Cp
-    first = jnp.concatenate(
-        [jnp.ones(1, jnp.int32), (bid[1:] != bid[:-1]).astype(jnp.int32)]
-    )
-    return (bid << 1) | first, cid, jnp.maximum(n_pairs, 1)
+    keyed = jnp.where(hit, ids, jnp.int32(Csup))  # misses sort to the tail
+    ordered = jax.lax.sort(keyed, dimension=1)
+    ordered = jnp.where(ordered == Csup, 0, ordered)
+    count = jnp.sum(hit, axis=1, dtype=jnp.int32)
+    return jnp.concatenate([count[:, None], ordered], axis=1)
 
 
-def _sweep_round(rays, tri_sweep, bidf, cid, n_pairs, any_hit, interpret):
-    """One pallas_call over a window of at most _PAIRS_PER_ROUND pairs."""
+def _sweep(rays, suplist, cl_aabb, tri_sweep, any_hit, interpret):
     nb = rays.shape[0]
+    Cpad = cl_aabb.shape[0]
+    W = suplist.shape[1]
     if any_hit:
         kernel = _occluded_kernel
         out_shape = [jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.int32)]
@@ -269,127 +367,47 @@ def _sweep_round(rays, tri_sweep, bidf, cid, n_pairs, any_hit, interpret):
             jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.int32),
         ]
-    out_spec = pl.BlockSpec((1, 1, BLOCK), lambda i, b, c: (b[i] >> 1, 0, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_pairs,),
-        in_specs=[
-            pl.BlockSpec((1, 8, BLOCK), lambda i, b, c: (b[i] >> 1, 0, 0)),
-            pl.BlockSpec((CLUSTER_K, 24), lambda i, b, c: (c[i], 0)),
-        ],
-        out_specs=[out_spec] * len(out_shape),
-    )
+    out_spec = pl.BlockSpec((1, 1, BLOCK), lambda b: (b, 0, 0))
     return pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, W), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, BLOCK), lambda b: (b, 0, 0)),
+            pl.BlockSpec((Cpad, 8), lambda b: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # triangles stay in HBM
+        ],
+        out_specs=[out_spec] * len(out_shape),
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        scratch_shapes=[
+            pltpu.VMEM((2, SUPT, 24), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
         interpret=interpret,
-    )(bidf, cid, rays, tri_sweep)
+    )(suplist, rays, cl_aabb, tri_sweep)
 
 
-def _sweep(rays, tri_sweep, bidf, cid, n_pairs, any_hit, interpret):
-    """Drain the pair list in _PAIRS_PER_ROUND windows, merging per-round
-    results. Rounds are needed because pair metadata is scalar-prefetched
-    into SMEM (~1MB); a window of 32k pairs uses 256KB.
-
-    Out-blocks a round never visits hold uninitialized memory, so merging
-    is masked by the round's (contiguous, ascending) block coverage range.
-    """
-    nb = rays.shape[0]
-    n_rounds = pl.cdiv(n_pairs, _PAIRS_PER_ROUND)
-    blk_idx = jnp.arange(nb, dtype=jnp.int32)[:, None, None]  # [nb, 1, 1]
-
-    if any_hit:
-        init = (jnp.zeros((nb, 1, BLOCK), jnp.int32),)
-    else:
-        init = (
-            jnp.full((nb, 1, BLOCK), _BIG, jnp.float32),
-            jnp.zeros((nb, 1, BLOCK), jnp.float32),
-            jnp.zeros((nb, 1, BLOCK), jnp.float32),
-            jnp.full((nb, 1, BLOCK), -1, jnp.int32),
-        )
-
-    def round_body(r, outs):
-        off = r * _PAIRS_PER_ROUND
-        bidf_w = jax.lax.dynamic_slice(bidf, (off,), (_PAIRS_PER_ROUND,))
-        cid_w = jax.lax.dynamic_slice(cid, (off,), (_PAIRS_PER_ROUND,))
-        # the window starts a fresh accumulation for its first block
-        bidf_w = bidf_w.at[0].set(bidf_w[0] | 1)
-        g = jnp.minimum(n_pairs - off, _PAIRS_PER_ROUND)
-        outs_r = _sweep_round(
-            rays, tri_sweep, bidf_w, cid_w, g, any_hit, interpret
-        )
-        b_lo = bidf_w[0] >> 1
-        b_hi = bidf[jnp.minimum(off + g - 1, bidf.shape[0] - 1)] >> 1
-        covered = (blk_idx >= b_lo) & (blk_idx <= b_hi)
-        if any_hit:
-            return (jnp.where(covered, outs[0] | outs_r[0], outs[0]),)
-        t, u, v, p = outs
-        # strict <: equal-t hits from later rounds are later clusters,
-        # i.e. higher prim ids — the earlier (lower) one wins, matching
-        # the single-round tie-break
-        better = covered & (outs_r[0] < t)
-        return (
-            jnp.where(better, outs_r[0], t),
-            jnp.where(better, outs_r[1], u),
-            jnp.where(better, outs_r[2], v),
-            jnp.where(better, outs_r[3], p),
-        )
-
-    return jax.lax.fori_loop(0, n_rounds, round_body, init)
-
-
-def _interleave6(x, y, z):
-    """30-bit Morton interleave of three 6-bit ints (device-side)."""
-
-    def spread(v):
-        v = v & 0x3F
-        v = (v | (v << 8)) & 0x0300F
-        v = (v | (v << 4)) & 0x030C3
-        v = (v | (v << 2)) & 0x09249
-        return v
-
-    return (spread(x) << 2) | (spread(y) << 1) | spread(z)
-
-
-def _coherence_keys(ro, rd, cl_aabb, alive):
-    """Stable-sort keys restoring packet coherence for bounce waves:
-    direction octant in the low bits, origin Morton cell above. Dead/pad
-    rays key to the max so they stay grouped at the tail."""
-    lo = jnp.min(cl_aabb[:, 0:3], axis=0)
-    hi = jnp.max(cl_aabb[:, 3:6], axis=0)
-    ext = jnp.maximum(hi - lo, 1e-20)
-    q = jnp.clip((ro - lo) / ext * 64.0, 0.0, 63.0).astype(jnp.int32)
-    morton = _interleave6(q[:, 0], q[:, 1], q[:, 2])
-    octant = (
-        ((rd[:, 0] < 0).astype(jnp.int32) << 2)
-        | ((rd[:, 1] < 0).astype(jnp.int32) << 1)
-        | (rd[:, 2] < 0).astype(jnp.int32)
-    )
-    key = (morton << 3) | octant
-    return jnp.where(alive, key, jnp.int32(1 << 30))
-
-
-@functools.partial(
-    jax.jit, static_argnames=("any_hit", "sort_rays", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
 def cluster_traverse(
     cl_aabb,
+    sup_aabb,
     tri_sweep,
     ro,
     rd,
     tmin,
     tmax,
     any_hit: bool = False,
-    sort_rays: bool = True,
     interpret: bool = False,
 ):
     """Traverse rays against the clustered triangle soup.
 
     Args:
-        cl_aabb: [Cp, 8] cluster AABB table (BVHArrays.cl_aabb).
-        tri_sweep: [Cp*K, 24] row-major triangle affine operands
+        cl_aabb: [Cpad, 8] cluster AABB table (BVHArrays.cl_aabb).
+        sup_aabb: [Cpad/SUP, 8] supercluster AABB table (BVHArrays.sup_aabb).
+        tri_sweep: [Cpad*K, 24] row-major triangle affine operands
             (GeometryArrays.tri_sweep).
         ro, rd, tmin, tmax: padded ray SoA; N must be a multiple of BLOCK
             (callers pad with tmax < tmin rays).
@@ -399,25 +417,13 @@ def cluster_traverse(
         any_hit=True: occluded bool [N].
     """
     N = ro.shape[0]
-    if sort_rays:
-        keys = _coherence_keys(ro, rd, cl_aabb, tmax >= tmin)
-        _, perm = jax.lax.sort(
-            (keys, jnp.arange(N, dtype=jnp.int32)), dimension=0,
-            is_stable=True, num_keys=1,
-        )
-        ro, rd = ro[perm], rd[perm]
-        tmin, tmax = tmin[perm], tmax[perm]
-
     rays = _ray_blocks(ro, rd, tmin, tmax)
-    mask = _cull(rays, cl_aabb, interpret)
-    bidf, cid, n_pairs = _pairs_from_mask(mask)
-    outs = _sweep(rays, tri_sweep, bidf, cid, n_pairs, any_hit, interpret)
+    mask = _cull(rays, sup_aabb, interpret)
+    suplist = _suplists(mask)
+    outs = _sweep(rays, suplist, cl_aabb, tri_sweep, any_hit, interpret)
 
     def unblock(x):
-        x = x[:, 0, :].reshape(N)
-        if sort_rays:
-            x = jnp.zeros_like(x).at[perm].set(x)
-        return x
+        return x[:, 0, :].reshape(N)
 
     if any_hit:
         return unblock(outs[0]) > 0

@@ -190,6 +190,16 @@ def _traverse(scene: Scene, ro, rd, tmin, tmax, any_hit: bool):
     return best_t, best_u, best_v, best_prim, found
 
 
+# Above this size the cull+sweep pipeline takes priority over the packet
+# kernel: the packet's any-ray-hit push rule makes every block traverse
+# nearly the whole tree on direction-incoherent bounce waves (measured on
+# room: 0.5 Mrays/s vs 900+ for coherent primaries), while cull+sweep work
+# is bounded per 128-ray block at cluster granularity. Small scenes keep the
+# packet kernel: their tree IS small, and resident tables beat re-DMAing
+# the triangle table once per block.
+_CLUSTER_MIN_TRIS = 16384
+
+
 def _cluster_eligible(scene: Scene) -> bool:
     """Trace-time gate for the streaming cluster pipeline: TPU backend with
     cluster tables present. Unlike the packet kernel there is NO size cap —
@@ -211,13 +221,13 @@ def _cluster_query(scene: Scene, ro, rd, tmin, tmax, any_hit: bool):
     N, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, CBLOCK)
     out = cluster_traverse(
         scene.bvh.cl_aabb,
+        scene.bvh.sup_aabb,
         scene.geometry.tri_sweep,
         ro_p,
         rd_p,
         tmin_p,
         tmax_p,
         any_hit=any_hit,
-        sort_rays=config.CLUSTER_SORT,
     )
     if any_hit:
         return out[:N]
@@ -237,6 +247,9 @@ def _traverse_backend(scene: Scene, ro, rd, tmin, tmax):
     sg = jax.lax.stop_gradient
     scene, ro, rd = sg(scene), sg(ro), sg(rd)
     tmin, tmax = sg(tmin), sg(tmax)
+    big = scene.meta.n_tri >= _CLUSTER_MIN_TRIS
+    if _cluster_eligible(scene) and (big or not _packet_eligible(scene)):
+        return _cluster_query(scene, ro, rd, tmin, tmax, any_hit=False)
     if _packet_eligible(scene):
         from take_tpu.geometry.intersect import _pad_rays
         from take_tpu.geometry.pallas_traverse import (
@@ -252,8 +265,6 @@ def _traverse_backend(scene: Scene, ro, rd, tmin, tmax):
         )
         t, u, v, prim = t[:N], u[:N], v[:N], prim[:N]
         return t, u, v, prim, prim >= 0
-    if _cluster_eligible(scene):
-        return _cluster_query(scene, ro, rd, tmin, tmax, any_hit=False)
     return _traverse(scene, ro, rd, tmin, tmax, any_hit=False)
 
 
@@ -281,14 +292,17 @@ def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
     from take_tpu.geometry.intersect import _sph_t
 
     sg = jax.lax.stop_gradient
-    if _packet_eligible(scene):
-        # closest-hit within [tmin, tmax] doubles as any-hit (the reference's
-        # scene_occluded is a full closest-hit too, scene.cpp:49-63)
-        *_, found = _traverse_backend(scene, ro, rd, tmin, tmax)
-    elif _cluster_eligible(scene):
+    big = scene.meta.n_tri >= _CLUSTER_MIN_TRIS
+    if _cluster_eligible(scene) and (big or not _packet_eligible(scene)):
+        # TRUE any-hit kernel (early-exit per block; fixes the reference's
+        # closest-hit scene_occluded, scene.cpp:49-63 ⚠)
         found = _cluster_query(
             sg(scene), sg(ro), sg(rd), sg(tmin), sg(tmax), any_hit=True
         )
+    elif _packet_eligible(scene):
+        # closest-hit within [tmin, tmax] doubles as any-hit (the reference's
+        # scene_occluded is a full closest-hit too, scene.cpp:49-63)
+        *_, found = _traverse_backend(scene, ro, rd, tmin, tmax)
     else:
         *_, found = _traverse(
             sg(scene), sg(ro), sg(rd), sg(tmin), sg(tmax), any_hit=True

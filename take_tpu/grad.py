@@ -45,7 +45,12 @@ def render_radiance(scene: Scene, options: RenderOptions, pixel_idx, sample0,
     jx = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_X))
     jy = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_Y))
     ro, rd = generate_rays(cam, px, py, jx, jy)
-    radiance = trace_mis(scene, options, ro, rd, streams)
+    if options.grad_mode == "replay":
+        from take_tpu.integrator.path_tracer import trace_mis_replay
+
+        radiance = trace_mis_replay(scene, options, ro, rd, streams)
+    else:
+        radiance = trace_mis(scene, options, ro, rd, streams)
     return jnp.mean(radiance.reshape(n_samples, P, 3), axis=0)
 
 

@@ -21,6 +21,8 @@ Deviation (capability fix, SURVEY §7.4): point lights get a proper delta-NEE
 branch; the reference silently ignores them.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -73,8 +75,200 @@ def _emitted(scene: Scene, hit):
     return hit.emit
 
 
+def _camera_vertex(scene: Scene, ro, rd):
+    """Primary intersection + camera-vertex radiance (path_tracing.h:7-18).
+
+    Returns (radiance0, (ro, rd, hit, active)) — the pre-loop state shared by
+    the scan, while-loop, and replay drivers."""
+    N = ro.shape[0]
+    eps = jnp.asarray(config.C_EPSILON, ro.dtype)
+    tmin0 = jnp.full(N, eps)
+    tmax0 = jnp.full(N, jnp.inf)
+    hit = intersect_scene(scene, ro, rd, tmin0, tmax0)
+    radiance = jnp.where(hit.valid[:, None], 0.0, _background(scene, rd))
+    radiance = radiance + jnp.where(
+        hit.valid[:, None], _emitted(scene, hit), 0.0
+    )
+    return radiance, (ro, rd, hit, hit.valid)
+
+
+def _bounce_step(scene: Scene, streams, i, state):
+    """One wavefront bounce (the body of path_tracing.h:20-109).
+
+    Args:
+        state: (ro, rd, hit, active) — current vertex per lane.
+        i: bounce index (traced scalar ok) — keys the RNG counters.
+    Returns:
+        (new_state, c, w): radiance increment `c` [N, 3] and throughput
+        factor `w` [N, 3] for this bounce, both EXCLUDING the running
+        throughput — the driver accumulates R += T*c; T *= w. Dead lanes
+        produce c == 0 and w == 1, so drivers need no extra masking and the
+        replay backward's suffix quotient (L - A)/w is exact there.
+    """
+    ro, rd, hit, active = state
+    n_lights = scene.meta.n_lights
+    # env map participates in NEE as one extra light-selection slot
+    n_slots = n_lights + (1 if scene.meta.has_envmap else 0)
+    eps = jnp.asarray(config.C_EPSILON, ro.dtype)
+    N = ro.shape[0]
+    tmin0 = jnp.full(N, eps)
+    tmax0 = jnp.full(N, jnp.inf)
+
+    dir_in = -rd
+    sp = make_shade_point(scene, hit)
+    spec = is_specular(sp)
+
+    # ---------------- NEE branch (path_tracing.h:30-60) ----------------
+    # The env map joins the light list as one extra uniform-selection
+    # slot (capability extension: the reference has no env light).
+    C1 = jnp.zeros_like(ro)
+    if n_slots > 0:
+        u_sel = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_SELECT))
+        u1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U1))
+        u2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U2))
+        slot = jnp.clip((u_sel * n_slots).astype(jnp.int32), 0, n_slots - 1)
+
+        if n_lights > 0:
+            light_id = jnp.clip(slot, 0, n_lights - 1)
+            ls = sample_on_light(scene, light_id, hit.pos, u1, u2)
+            delta = ls.position - hit.pos
+            d = jnp.linalg.norm(delta, axis=-1)
+            light_dir = delta / jnp.maximum(d, 1e-30)[:, None]
+            tmax_shadow = (1.0 - 1e-3) * d
+        else:
+            d = jnp.ones(N)
+            light_dir = rd
+            tmax_shadow = jnp.full(N, jnp.inf)
+
+        if scene.meta.has_envmap:
+            from take_tpu.lights.envmap import envmap_eval, envmap_sample
+
+            u3 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_ENV_U3))
+            env_dir, env_pdf = envmap_sample(scene.envmap, u1, u2, u3)
+            is_env = slot == n_lights
+            light_dir = jnp.where(is_env[:, None], env_dir, light_dir)
+            tmax_shadow = jnp.where(is_env, jnp.inf, tmax_shadow)
+        else:
+            is_env = jnp.zeros(N, bool)
+
+        # Occlusion: tmax = (1 - eps) * d (path_tracing.h:53-54); origin
+        # offset off the surface to avoid f32 self-shadowing
+        shadow_o = offset_origin(hit.pos, hit.geo_n, light_dir)
+        shadow_occ = occluded(
+            scene, shadow_o, light_dir, jnp.full(N, eps), tmax_shadow
+        )
+        FG = bsdf_eval(scene, sp, dir_in, light_dir)
+        bp = bsdf_pdf(scene, sp, dir_in, light_dir)
+
+        if scene.meta.has_area_lights:
+            cos_l = jnp.maximum(dot(-ls.normal, light_dir), 0.0)
+            apdf = area_pdf_from_sample(ls, ls.position, hit.pos)
+            # solid-angle light pdf (path_tracing.h:39); cos_l == 0 lanes
+            # correspond to the reference's +inf pdf => contribution skipped
+            lp = safe_div(apdf * d * d, cos_l * n_slots, 0.0)
+            w = safe_div(lp, lp * lp + bp * bp, 0.0)  # power heuristic /lp
+            ok = (
+                (~is_env) & ls.is_area & (bp > 0.0) & (cos_l > 0.0)
+                & (~shadow_occ)
+            )
+            C1_area = FG * ls.intensity * jnp.where(ok, w, 0.0)[:, None]
+            C1 = C1 + C1_area
+        if scene.meta.has_point_lights:
+            # delta light: estimator I/d^2 / pmf_select, no MIS partner
+            inv_d2 = safe_div(jnp.ones_like(d), d * d, 0.0)
+            okp = (~is_env) & (~ls.is_area) & (~shadow_occ)
+            C1_pt = FG * ls.intensity * jnp.where(
+                okp, inv_d2 * n_slots, 0.0
+            )[:, None]
+            C1 = C1 + C1_pt
+        if scene.meta.has_envmap:
+            Li_env = envmap_eval(scene.envmap, light_dir)
+            lp_env = env_pdf / n_slots
+            w_env = safe_div(lp_env, lp_env * lp_env + bp * bp, 0.0)
+            ok_env = is_env & (bp > 0.0) & (env_pdf > 0.0) & (~shadow_occ)
+            C1 = C1 + FG * Li_env * jnp.where(ok_env, w_env, 0.0)[:, None]
+        C1 = jnp.where((spec | ~active)[:, None], 0.0, C1)
+    c = C1
+
+    # ---------------- BSDF branch (path_tracing.h:62-101) --------------
+    u_lobe = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LOBE_SELECT))
+    ub1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U1))
+    ub2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U2))
+    ub3 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_AUX))
+    dir_out, bpdf = bsdf_sample(scene, sp, dir_in, u_lobe, ub1, ub2, ub3)
+    FG = bsdf_eval(scene, sp, dir_in, dir_out, sample_pdf=bpdf)
+    dir_out = normalize(dir_out, eps=1e-30)
+    sample_ok = bpdf > 0.0
+
+    new_ro = offset_origin(hit.pos, hit.geo_n, dir_out)
+    new_hit = intersect_scene(scene, new_ro, dir_out, tmin0, tmax0)
+
+    contrib = safe_div(FG, bpdf[:, None], 0.0)  # FG / bsdf_pdf
+
+    # miss -> background (path_tracing.h:82-87). With an env light the
+    # escape direction is MIS-weighted against the NEE env technique;
+    # flat background keeps the reference's full-credit semantics.
+    miss = sample_ok & ~new_hit.valid
+    if scene.meta.has_envmap:
+        from take_tpu.lights.envmap import envmap_pdf
+
+        lp_env = envmap_pdf(scene.envmap, dir_out) / n_slots
+        w_env_bs = jnp.where(
+            spec,
+            safe_div(jnp.ones_like(bpdf), bpdf, 0.0),
+            safe_div(bpdf, lp_env * lp_env + bpdf * bpdf, 0.0),
+        )
+        miss_radiance = FG * _background(scene, dir_out) * w_env_bs[:, None]
+    else:
+        miss_radiance = contrib * _background(scene, dir_out)
+    c = c + jnp.where((active & miss)[:, None], miss_radiance, 0.0)
+
+    # emitter hit -> C2 with power-heuristic weight (path_tracing.h:88-100)
+    # — intensity and area pdf come from the Hit record, no gathers
+    C2 = jnp.zeros_like(ro)
+    if n_lights > 0 and scene.meta.has_area_lights:
+        hit_em = new_hit.valid & (new_hit.light_id >= 0)
+        d2 = jnp.linalg.norm(new_hit.pos - hit.pos, axis=-1)
+        # light_dir == dir_out (the reference recomputes it; identical)
+        cos_l = jnp.maximum(dot(-new_hit.geo_n, dir_out), 0.0)
+        apdf = area_pdf_from_hit_geom(
+            new_hit.light_geom, new_hit.pos, hit.pos
+        )
+        lp = safe_div(apdf * d2 * d2, cos_l * n_slots, 0.0)
+        w = jnp.where(
+            spec,
+            safe_div(jnp.ones_like(bpdf), bpdf, 0.0),
+            safe_div(bpdf, lp * lp + bpdf * bpdf, 0.0),
+        )
+        C2 = FG * new_hit.emit * jnp.where(
+            hit_em & sample_ok, w, 0.0
+        )[:, None]
+    c = c + jnp.where(active[:, None], C2, 0.0)
+
+    # throughput factor (path_tracing.h:107); dead lanes keep w == 1
+    w = jnp.where(active[:, None], contrib, 1.0)
+    new_active = active & sample_ok & new_hit.valid
+
+    # keep state well-defined on dead lanes
+    keep = active[:, None]
+    ro_n = jnp.where(keep, new_ro, ro)
+    rd_n = jnp.where(keep, dir_out, rd)
+    hit_n = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(
+            keep if new.ndim == 2 else active, new, old
+        ),
+        new_hit,
+        hit,
+    )
+    return (ro_n, rd_n, hit_n, new_active), c, w
+
+
 def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
     """Trace a batch of camera rays to radiance with multi-sample MIS.
+
+    lax.scan driver: fixed max_depth+1 trips, reverse-differentiable with
+    plain jax.grad (residuals stored per bounce). For the memory-lean
+    path-replay gradient and early-exit primal, see trace_mis_replay.
 
     Args:
         scene: device scene.
@@ -83,181 +277,162 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
     Returns:
         [N, 3] radiance.
     """
-    n_lights = scene.meta.n_lights
-    # env map participates in NEE as one extra light-selection slot
-    n_slots = n_lights + (1 if scene.meta.has_envmap else 0)
-    eps = jnp.asarray(config.C_EPSILON, ro.dtype)
-    inf = jnp.asarray(jnp.inf, ro.dtype)
-    N = ro.shape[0]
-
-    tmin0 = jnp.full(N, eps)
-    tmax0 = jnp.full(N, inf)
-    hit = intersect_scene(scene, ro, rd, tmin0, tmax0)
-
-    radiance = jnp.where(hit.valid[:, None], 0.0, _background(scene, rd))
+    radiance, state = _camera_vertex(scene, ro, rd)
     throughput = jnp.ones_like(ro)
-    # camera-vertex emission (path_tracing.h:14-18)
-    radiance = radiance + jnp.where(
-        hit.valid[:, None], _emitted(scene, hit), 0.0
-    )
-    active = hit.valid
 
     def bounce(carry, i):
-        ro, rd, hit, throughput, radiance, active = carry
-        dir_in = -rd
-        sp = make_shade_point(scene, hit)
-        spec = is_specular(sp)
+        state, T, R = carry
+        state, c, w = _bounce_step(scene, streams, i, state)
+        return (state, T * w, R + T * c), None
 
-        # ---------------- NEE branch (path_tracing.h:30-60) ----------------
-        # The env map joins the light list as one extra uniform-selection
-        # slot (capability extension: the reference has no env light).
-        C1 = jnp.zeros_like(radiance)
-        if n_slots > 0:
-            u_sel = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_SELECT))
-            u1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U1))
-            u2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U2))
-            slot = jnp.clip((u_sel * n_slots).astype(jnp.int32), 0, n_slots - 1)
-
-            if n_lights > 0:
-                light_id = jnp.clip(slot, 0, n_lights - 1)
-                ls = sample_on_light(scene, light_id, hit.pos, u1, u2)
-                delta = ls.position - hit.pos
-                d = jnp.linalg.norm(delta, axis=-1)
-                light_dir = delta / jnp.maximum(d, 1e-30)[:, None]
-                tmax_shadow = (1.0 - 1e-3) * d
-            else:
-                d = jnp.ones(N)
-                light_dir = rd
-                tmax_shadow = jnp.full(N, jnp.inf)
-
-            if scene.meta.has_envmap:
-                from take_tpu.lights.envmap import envmap_eval, envmap_sample
-
-                u3 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_ENV_U3))
-                env_dir, env_pdf = envmap_sample(scene.envmap, u1, u2, u3)
-                is_env = slot == n_lights
-                light_dir = jnp.where(is_env[:, None], env_dir, light_dir)
-                tmax_shadow = jnp.where(is_env, jnp.inf, tmax_shadow)
-            else:
-                is_env = jnp.zeros(N, bool)
-
-            # Occlusion: tmax = (1 - eps) * d (path_tracing.h:53-54); origin
-            # offset off the surface to avoid f32 self-shadowing
-            shadow_o = offset_origin(hit.pos, hit.geo_n, light_dir)
-            shadow_occ = occluded(
-                scene, shadow_o, light_dir, jnp.full(N, eps), tmax_shadow
-            )
-            FG = bsdf_eval(scene, sp, dir_in, light_dir)
-            bp = bsdf_pdf(scene, sp, dir_in, light_dir)
-
-            if scene.meta.has_area_lights:
-                cos_l = jnp.maximum(dot(-ls.normal, light_dir), 0.0)
-                apdf = area_pdf_from_sample(ls, ls.position, hit.pos)
-                # solid-angle light pdf (path_tracing.h:39); cos_l == 0 lanes
-                # correspond to the reference's +inf pdf => contribution skipped
-                lp = safe_div(apdf * d * d, cos_l * n_slots, 0.0)
-                w = safe_div(lp, lp * lp + bp * bp, 0.0)  # power heuristic /lp
-                ok = (
-                    (~is_env) & ls.is_area & (bp > 0.0) & (cos_l > 0.0)
-                    & (~shadow_occ)
-                )
-                C1_area = FG * ls.intensity * jnp.where(ok, w, 0.0)[:, None]
-                C1 = C1 + C1_area
-            if scene.meta.has_point_lights:
-                # delta light: estimator I/d^2 / pmf_select, no MIS partner
-                inv_d2 = safe_div(jnp.ones_like(d), d * d, 0.0)
-                okp = (~is_env) & (~ls.is_area) & (~shadow_occ)
-                C1_pt = FG * ls.intensity * jnp.where(
-                    okp, inv_d2 * n_slots, 0.0
-                )[:, None]
-                C1 = C1 + C1_pt
-            if scene.meta.has_envmap:
-                Li_env = envmap_eval(scene.envmap, light_dir)
-                lp_env = env_pdf / n_slots
-                w_env = safe_div(lp_env, lp_env * lp_env + bp * bp, 0.0)
-                ok_env = is_env & (bp > 0.0) & (env_pdf > 0.0) & (~shadow_occ)
-                C1 = C1 + FG * Li_env * jnp.where(ok_env, w_env, 0.0)[:, None]
-            C1 = jnp.where((spec | ~active)[:, None], 0.0, C1)
-        radiance = radiance + throughput * C1
-
-        # ---------------- BSDF branch (path_tracing.h:62-101) --------------
-        u_lobe = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LOBE_SELECT))
-        ub1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U1))
-        ub2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U2))
-        ub3 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_AUX))
-        dir_out, bpdf = bsdf_sample(scene, sp, dir_in, u_lobe, ub1, ub2, ub3)
-        FG = bsdf_eval(scene, sp, dir_in, dir_out, sample_pdf=bpdf)
-        dir_out = normalize(dir_out, eps=1e-30)
-        sample_ok = bpdf > 0.0
-
-        new_ro = offset_origin(hit.pos, hit.geo_n, dir_out)
-        new_hit = intersect_scene(scene, new_ro, dir_out, tmin0, tmax0)
-
-        contrib = safe_div(FG, bpdf[:, None], 0.0)  # FG / bsdf_pdf
-
-        # miss -> background (path_tracing.h:82-87). With an env light the
-        # escape direction is MIS-weighted against the NEE env technique;
-        # flat background keeps the reference's full-credit semantics.
-        miss = sample_ok & ~new_hit.valid
-        if scene.meta.has_envmap:
-            from take_tpu.lights.envmap import envmap_pdf
-
-            lp_env = envmap_pdf(scene.envmap, dir_out) / n_slots
-            w_env_bs = jnp.where(
-                spec,
-                safe_div(jnp.ones_like(bpdf), bpdf, 0.0),
-                safe_div(bpdf, lp_env * lp_env + bpdf * bpdf, 0.0),
-            )
-            miss_radiance = FG * _background(scene, dir_out) * w_env_bs[:, None]
-        else:
-            miss_radiance = contrib * _background(scene, dir_out)
-        radiance = radiance + jnp.where(
-            (active & miss)[:, None], throughput * miss_radiance, 0.0
-        )
-
-        # emitter hit -> C2 with power-heuristic weight (path_tracing.h:88-100)
-        # — intensity and area pdf come from the Hit record, no gathers
-        C2 = jnp.zeros_like(radiance)
-        if n_lights > 0 and scene.meta.has_area_lights:
-            hit_em = new_hit.valid & (new_hit.light_id >= 0)
-            d2 = jnp.linalg.norm(new_hit.pos - hit.pos, axis=-1)
-            # light_dir == dir_out (the reference recomputes it; identical)
-            cos_l = jnp.maximum(dot(-new_hit.geo_n, dir_out), 0.0)
-            apdf = area_pdf_from_hit_geom(
-                new_hit.light_geom, new_hit.pos, hit.pos
-            )
-            lp = safe_div(apdf * d2 * d2, cos_l * n_slots, 0.0)
-            w = jnp.where(
-                spec,
-                safe_div(jnp.ones_like(bpdf), bpdf, 0.0),
-                safe_div(bpdf, lp * lp + bpdf * bpdf, 0.0),
-            )
-            C2 = FG * new_hit.emit * jnp.where(
-                hit_em & sample_ok, w, 0.0
-            )[:, None]
-        radiance = radiance + jnp.where(active[:, None], throughput * C2, 0.0)
-
-        # throughput *= FG / bsdf_pdf; advance (path_tracing.h:107-108)
-        new_throughput = jnp.where(
-            active[:, None], throughput * contrib, throughput
-        )
-        new_active = active & sample_ok & new_hit.valid
-
-        # keep state well-defined on dead lanes
-        keep = active[:, None]
-        ro_n = jnp.where(keep, new_ro, ro)
-        rd_n = jnp.where(keep, dir_out, rd)
-        hit_n = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(
-                keep if new.ndim == 2 else active, new, old
-            ),
-            new_hit,
-            hit,
-        )
-        return (ro_n, rd_n, hit_n, new_throughput, radiance, new_active), None
-
-    carry = (ro, rd, hit, throughput, radiance, active)
-    carry, _ = jax.lax.scan(
-        bounce, carry, jnp.arange(options.max_depth + 1, dtype=jnp.uint32)
+    (state, throughput, radiance), _ = jax.lax.scan(
+        bounce,
+        (state, throughput, radiance),
+        jnp.arange(options.max_depth + 1, dtype=jnp.uint32),
     )
-    return carry[4]
+    return radiance
+
+# ---------------------------------------------------------------------------
+# Early-exit + path-replay driver
+# ---------------------------------------------------------------------------
+#
+# trace_mis_replay computes the same estimator as trace_mis through a
+# lax.while_loop that stops as soon as every lane is dead (the wavefront
+# analog of the reference's per-ray `break`s) — with the CLI-parity default
+# -max_depth 50, a mostly-terminated wave no longer pays 51 full-width
+# bounces. while_loop is not reverse-differentiable, so gradients come from
+# a custom_vjp implementing PATH-REPLAY backpropagation (SURVEY §7.1):
+# the forward stores only (inputs, final radiance); the backward replays the
+# bounce loop with the same RNG counters and accumulates parameter
+# cotangents bounce-by-bounce, so backward memory is O(wavefront), not
+# O(wavefront x depth) like AD-of-scan.
+#
+# Math: L = sum_i T_i c_i with T_0 = 1, T_{i+1} = T_i w_i, where (c_i, w_i)
+# come from _bounce_step. For a parameter theta:
+#   dL/dtheta = sum_i T_i dc_i/dtheta + (dw_i/dtheta) T_i S_{i+1},
+#   S_{i+1} = (L - A_{i+1}) / (T_i w_i)  (suffix radiance; A = prefix sum).
+# The division is masked where |w_i| ~ 0. KNOWN LIMITATION (inherent to
+# single-replay PRB, same as Mitsuba 3's prb integrator): when a throughput
+# factor is EXACTLY zero (e.g. a pitch-black albedo) the suffix is 0/0 and
+# the dL/dw_i term through it is dropped — the gradient of such a parameter
+# reads 0 even though the two-sided derivative is not. Everywhere else the
+# quotient is exact: tests/test_replay.py checks depth-3 cbox grads match
+# AD to 1e-5 on every parameter with nonzero throughput.
+# Sampled directions are DETACHED (replayed as constants), the standard
+# detached-sampling estimator: on scenes whose lobe sampling is
+# parameter-independent (diffuse/cosine — e.g. the cbox gate) this equals
+# AD-of-scan to float precision; for exponent-shaped lobes (Phong etc.) it
+# drops the reparameterization term AD would carry through dir_out.
+
+
+def _float_cotangent_zeros(x):
+    """Cotangent zeros matching custom_vjp's expectations: float32 zeros for
+    float primals, float0 for integer/bool primals."""
+    import numpy as np
+
+    def one(v):
+        v = jnp.asarray(v)
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            return jnp.zeros_like(v)
+        return np.zeros(v.shape, jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(one, x)
+
+
+def _tree_add_float(a, b):
+    """a + b over float leaves; non-float (float0) leaves pass through."""
+
+    def add(x, y):
+        if hasattr(x, "dtype") and x.dtype == jax.dtypes.float0:
+            return x
+        return x + y
+
+    return jax.tree_util.tree_map(add, a, b)
+
+
+def _replay_fwd_loop(scene, options, ro, rd, streams):
+    radiance, state = _camera_vertex(scene, ro, rd)
+    throughput = jnp.ones_like(ro)
+
+    def cond(carry):
+        i, state, T, R = carry
+        return (i < options.max_depth + 1) & jnp.any(state[3])
+
+    def body(carry):
+        i, state, T, R = carry
+        state, c, w = _bounce_step(scene, streams, i, state)
+        return (i + 1, state, T * w, R + T * c)
+
+    carry = (jnp.uint32(0), state, throughput, radiance)
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[3]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def trace_mis_replay(scene, options: RenderOptions, ro, rd, streams):
+    """trace_mis with an early-exit bounce loop and a path-replay VJP.
+
+    Identical estimator to trace_mis (same RNG keys, same per-bounce math);
+    preferred for primal rendering (stops when the wave dies) and for
+    large-scale gradients (backward memory does not scale with depth).
+    """
+    return _replay_fwd_loop(scene, options, ro, rd, streams)
+
+
+def _replay_fwd(scene, options, ro, rd, streams):
+    L = _replay_fwd_loop(scene, options, ro, rd, streams)
+    return L, (scene, ro, rd, streams, L)
+
+
+def _replay_bwd(options, res, gbar):
+    scene, ro, rd, streams, L = res
+    sg = jax.lax.stop_gradient
+    scene, ro, rd, streams, L, gbar = (
+        sg(scene), sg(ro), sg(rd), sg(streams), sg(L), sg(gbar)
+    )
+
+    # camera-vertex cotangent (background + first-hit emission)
+    _, vjp0 = jax.vjp(lambda s: _camera_vertex(s, ro, rd)[0], scene)
+    (gacc,) = vjp0(gbar)
+    _, state0 = _camera_vertex(scene, ro, rd)
+
+    A0 = _camera_vertex(scene, ro, rd)[0]
+    T0 = jnp.ones_like(ro)
+
+    def cond(carry):
+        i, state, T, A, gacc = carry
+        return (i < options.max_depth + 1) & jnp.any(state[3])
+
+    def body(carry):
+        i, state, T, A, gacc = carry
+        state_d = sg(state)
+
+        def local(s):
+            new_state, c, w = _bounce_step(s, streams, i, state_d)
+            return (c, w), new_state
+
+        (c, w), vjp, new_state = jax.vjp(local, scene, has_aux=True)
+        c, w, new_state = sg(c), sg(w), sg(new_state)
+
+        A2 = A + T * c
+        Tw = T * w
+        # suffix radiance after this bounce, per channel; masked where the
+        # path carries no remaining throughput (suffix is exactly zero there)
+        live = jnp.abs(w) > 1e-30
+        wbar = gbar * jnp.where(live, (L - A2) / jnp.where(live, w, 1.0), 0.0)
+        cbar = gbar * T
+        (gs,) = vjp((cbar, wbar))
+        return (i + 1, new_state, Tw, A2, _tree_add_float(gacc, gs))
+
+    carry = (jnp.uint32(0), state0, T0, A0, gacc)
+    carry = jax.lax.while_loop(cond, body, carry)
+    gacc = carry[4]
+    return (
+        gacc,
+        jnp.zeros_like(ro),
+        jnp.zeros_like(rd),
+        _float_cotangent_zeros(streams),
+    )
+
+
+trace_mis_replay.defvjp(_replay_fwd, _replay_bwd)

@@ -27,6 +27,13 @@ from take_tpu.scene.types import RenderOptions, Scene
 
 def _trace_fn(options: RenderOptions):
     if options.integrator == "mis":
+        # early-exit while-loop driver: identical estimator to the scan
+        # (bit-exact, tests/test_replay.py), stops when the wave dies —
+        # -max_depth 50 no longer costs 51 full-width bounces
+        from take_tpu.integrator.path_tracer import trace_mis_replay
+
+        return trace_mis_replay
+    if options.integrator == "mis_scan":
         return trace_mis
     if options.integrator == "one_sample_mis":
         from take_tpu.integrator.variants import trace_one_sample_mis

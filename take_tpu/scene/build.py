@@ -72,10 +72,12 @@ def _pack_triangles(np_tri, Tpad, f, i32):
         aff_o[:3, cols] = Minv[:, k, :].T
         aff_o[3, cols] = -np.einsum("tj,tj->t", Minv[:, k, :], v0)
     # row-major sweep view of the same operands (one sublane per triangle)
-    # for the Pallas cluster pipeline; padded to a whole number of clusters.
-    from take_tpu.geometry.bvh import CLUSTER_K
+    # for the Pallas cluster pipeline; padded to a whole number of
+    # SUPERclusters (the sweep kernel's DMA granule may read any row of any
+    # supercluster, so the table must cover Cpad * K rows).
+    from take_tpu.geometry.bvh import CLUSTER_K, cluster_pad
 
-    Tsw = -(-Tpad // CLUSTER_K) * CLUSTER_K
+    Tsw = max(cluster_pad(Tpad) * CLUSTER_K, Tpad)
     sweep = np.zeros((Tsw, 24))
     for k in range(3):
         cols = slice(k * Tpad, (k + 1) * Tpad)
@@ -305,8 +307,10 @@ class SceneBuilder:
             np_tri = {k: v[perm] for k, v in np_tri.items()}
             from take_tpu.geometry.bvh import cluster_aabbs
 
-            cl_aabb = cluster_aabbs(bmin[order], bmax[order], n_tri)
-            bvh_np = (node_min, node_max, node_child, node_count, cl_aabb)
+            cl_aabb, sup_aabb = cluster_aabbs(bmin[order], bmax[order], n_tri)
+            bvh_np = (
+                node_min, node_max, node_child, node_count, cl_aabb, sup_aabb
+            )
 
         geometry_tri = _pack_triangles(np_tri, Tpad, f, i32)
 
@@ -502,6 +506,7 @@ class SceneBuilder:
                 node_child=jnp.asarray(bvh_np[2]),
                 node_count=jnp.asarray(bvh_np[3]),
                 cl_aabb=jnp.asarray(bvh_np[4]),
+                sup_aabb=jnp.asarray(bvh_np[5]),
             )
         return T.Scene(
             geometry=geometry,

@@ -236,6 +236,9 @@ class BVHArrays:
     # triangle run [c*K, (c+1)*K). Row = (min.xyz, max.xyz, 0, 0); padding
     # clusters carry inverted boxes so every slab test misses.
     cl_aabb: Any  # [Cpad, 8] f32
+    # Supercluster AABBs: union of SUP consecutive clusters — the cull
+    # table + the HBM->VMEM DMA granule of the sweep kernel.
+    sup_aabb: Any  # [Cpad/SUP, 8] f32
 
 
 @dataclass(frozen=True)
@@ -245,8 +248,17 @@ class RenderOptions:
 
     spp: int = 4
     max_depth: int = 50
-    integrator: str = "mis"  # "mis" | "one_sample_mis" | "raw"
+    # "mis" (early-exit while-loop driver) | "mis_scan" (fixed-trip lax.scan,
+    # same estimator bit-for-bit) | "one_sample_mis" | "one_sample_mis_power"
+    # | "raw"
+    integrator: str = "mis"
     seed: int = 0
+    # Gradient strategy for render_radiance/render_loss_grad: "ad" = plain
+    # reverse-mode through the scan (stores per-bounce residuals); "replay" =
+    # path-replay custom_vjp (backward memory independent of depth; drops
+    # gradient terms through exactly-zero throughput factors — see
+    # integrator/path_tracer.py replay notes).
+    grad_mode: str = "ad"
     # Rays are processed in chunks of at most this many paths to bound memory.
     max_rays_per_pass: int = 1 << 20
 

@@ -1,8 +1,8 @@
-"""Streaming cluster cull+sweep pipeline vs brute force (interpret mode).
+"""Streaming two-level cull+sweep pipeline vs brute force (interpret mode).
 
 The kernels run in Pallas interpret mode on the CPU backend; the real-TPU
 path compiles the identical program. Parity target: exact agreement with
-the brute-force sweep (same f32 Möller–Trumbore semantics, lowest-prim
+the brute-force sweep (same f32 Moeller-Trumbore semantics, lowest-prim
 tie-breaking)."""
 
 import numpy as np
@@ -35,11 +35,20 @@ def _rays(rng_np, N, spread=15.0):
     return ro, rd
 
 
+def _run(scene, ro_p, rd_p, tmin_p, tmax_p, any_hit):
+    return cluster_traverse(
+        scene.bvh.cl_aabb,
+        scene.bvh.sup_aabb,
+        scene.geometry.tri_sweep,
+        ro_p, rd_p, tmin_p, tmax_p,
+        any_hit=any_hit, interpret=True,
+    )
+
+
 @pytest.mark.parametrize("n_tri", [40, 700])
-@pytest.mark.parametrize("sort_rays", [False, True])
-def test_cluster_matches_brute(n_tri, sort_rays, rng_np):
+def test_cluster_matches_brute(n_tri, rng_np):
     scene = random_soup_scene(n_tri, build_bvh=True)
-    N = 1100  # deliberately not a BLOCK multiple
+    N = 3 * BLOCK - 28  # deliberately not a BLOCK multiple
     ro, rd = _rays(rng_np, N)
     tmin = jnp.full(N, 1e-4)
     tmax = jnp.full(N, jnp.inf)
@@ -47,12 +56,7 @@ def test_cluster_matches_brute(n_tri, sort_rays, rng_np):
     t_ref, prim_ref, found_ref = _brute_reference(scene, ro, rd, tmin, tmax)
 
     Np, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, BLOCK)
-    t, u, v, prim = cluster_traverse(
-        scene.bvh.cl_aabb,
-        scene.geometry.tri_sweep,
-        ro_p, rd_p, tmin_p, tmax_p,
-        any_hit=False, sort_rays=sort_rays, interpret=True,
-    )
+    t, u, v, prim = _run(scene, ro_p, rd_p, tmin_p, tmax_p, any_hit=False)
     t, prim = np.asarray(t)[:N], np.asarray(prim)[:N]
 
     np.testing.assert_array_equal(prim, prim_ref)
@@ -65,7 +69,7 @@ def test_cluster_matches_brute(n_tri, sort_rays, rng_np):
 
 def test_cluster_any_hit(rng_np):
     scene = random_soup_scene(300, build_bvh=True)
-    N = 900
+    N = 2 * BLOCK
     ro, rd = _rays(rng_np, N)
     tmin = jnp.full(N, 1e-4)
     tmax = jnp.asarray(rng_np.uniform(1.0, 25.0, N), jnp.float32)
@@ -74,12 +78,7 @@ def test_cluster_any_hit(rng_np):
     occ_ref = np.asarray(ok).any(axis=1)
 
     Np, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, BLOCK)
-    occ = cluster_traverse(
-        scene.bvh.cl_aabb,
-        scene.geometry.tri_sweep,
-        ro_p, rd_p, tmin_p, tmax_p,
-        any_hit=True, sort_rays=True, interpret=True,
-    )
+    occ = _run(scene, ro_p, rd_p, tmin_p, tmax_p, any_hit=True)
     np.testing.assert_array_equal(np.asarray(occ)[:N], occ_ref)
 
 
@@ -92,9 +91,5 @@ def test_cluster_respects_tmax(rng_np):
     tmax = jnp.full(N, 8.0)
 
     t_ref, prim_ref, _ = _brute_reference(scene, ro, rd, tmin, tmax)
-    t, _, _, prim = cluster_traverse(
-        scene.bvh.cl_aabb, scene.geometry.tri_sweep,
-        ro, rd, tmin, tmax,
-        any_hit=False, sort_rays=True, interpret=True,
-    )
+    t, _, _, prim = _run(scene, ro, rd, tmin, tmax, any_hit=False)
     np.testing.assert_array_equal(np.asarray(prim), prim_ref)
