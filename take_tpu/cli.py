@@ -20,7 +20,9 @@ def main(argv=None):
     ap.add_argument("-spp", type=int, default=None, help="override sampler spp")
     ap.add_argument("-seed", type=int, default=0)
     ap.add_argument(
-        "-integrator", default="mis", choices=["mis", "one_sample_mis", "one_sample_mis_power", "raw"]
+        "-integrator", default="mis",
+        choices=["mis", "mis_replay", "one_sample_mis",
+                 "one_sample_mis_power", "raw"]
     )
     ap.add_argument(
         "-platform", default=None,

@@ -30,12 +30,32 @@ INF = float("inf")
 # the first jit trace (or clear jit caches) for it to take effect.
 PALLAS_BRUTE = True
 
-# Streaming two-level cull+sweep traversal (geometry/pallas_cluster.py) for
-# BVH scenes on TPU: triangle tables stay in HBM, so any scene size works,
-# and per-block work is bounded at cluster granularity (robust to
+# Streaming group-sweep traversal (geometry/pallas_cluster.py) for BVH
+# scenes on TPU: triangle tables stay in HBM, so any scene size works, and
+# per-block work is bounded at cluster granularity (robust to
 # direction-incoherent bounce waves, unlike the packet kernel). Trace-time
 # switch like PALLAS_BRUTE.
 PALLAS_CLUSTER = True
+
+# Route VMEM-resident BVH scenes to the cluster pipeline too (testing /
+# benchmarking aid; by default the packet kernel wins whenever it fits).
+FORCE_CLUSTER = False
+
+# Bin rays by (direction octant, origin Morton) before the Pallas traversal
+# kernels (geometry/traverse.py::_coherence_perm): block coherence is what
+# both kernels' work bounds depend on. Trace-time switch like PALLAS_BRUTE.
+RAY_SORT = True
+
+
+def checks_enabled() -> bool:
+    """Opt-in numeric guard (the functional-model analog of the reference's
+    kept-on asserts, take.h:3-5): TAKE_TPU_CHECKS=1 makes the render driver
+    validate every accumulated pass for NaN/Inf on the host and raise with
+    the offending band. Off by default — the check syncs device->host per
+    pass."""
+    import os
+
+    return os.environ.get("TAKE_TPU_CHECKS", "") == "1"
 
 
 def enable_compile_cache(path="/tmp/take_tpu_jax_cache"):

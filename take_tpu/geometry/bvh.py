@@ -23,11 +23,14 @@ import numpy as np
 WIDTH = 8  # children per node
 LEAF_SIZE = 16  # max primitives per leaf
 
-# Streaming cull+sweep pipeline granularities (geometry/pallas_cluster.py).
+# Streaming group-sweep pipeline granularities (geometry/pallas_cluster.py).
 # Clusters are consecutive runs of CLUSTER_K Morton-ordered triangles;
-# superclusters group SUP consecutive clusters (the HBM->VMEM DMA granule).
+# superclusters group SUP consecutive clusters (the HBM->VMEM DMA granule);
+# the sweep kernel slab-tests GROUP consecutive superclusters per aligned
+# VMEM read.
 CLUSTER_K = 64
 SUP = 8
+GROUP = 8
 
 
 def cluster_pad(n_tri: int) -> int:
@@ -37,24 +40,34 @@ def cluster_pad(n_tri: int) -> int:
 
 
 def cluster_aabbs(bmin: np.ndarray, bmax: np.ndarray, n_tri: int):
-    """(cl_aabb [Cpad, 8], sup_aabb [Cpad/SUP, 8]) AABB tables, rows =
+    """(cl_aabb [Cpad, 8], sup_aabb [SupP, 8]) AABB tables, rows =
     (min.xyz, max.xyz, 0, 0), over runs of Morton-ordered triangles.
     bmin/bmax are per-triangle AABBs in final (reordered) order, length
-    >= n_tri. Padding clusters get inverted boxes so slab tests always
-    miss."""
+    >= n_tri. SupP = Cpad/SUP rounded up to a multiple of GROUP.
+
+    Padding rows (clusters beyond the last valid one; supercluster rows
+    beyond the last valid supercluster) are all-NaN: NaN comparisons are
+    false, so the kernels' slab tests can never hit them. (Inverted boxes
+    do NOT work for this — per-axis min/max of the two plane distances
+    turns an inverted box into an all-space box that hits every ray.)"""
     C = max(1, -(-n_tri // CLUSTER_K))
     Cpad = cluster_pad(n_tri)
-    out = np.zeros((Cpad, 8), np.float32)
-    out[:, 0:3] = 3e38
-    out[:, 3:6] = -3e38
+    out = np.full((Cpad, 8), np.nan, np.float32)
     for c in range(C):
         s, e = c * CLUSTER_K, min((c + 1) * CLUSTER_K, n_tri)
         if e > s:
             out[c, 0:3] = bmin[s:e].min(axis=0)
             out[c, 3:6] = bmax[s:e].max(axis=0)
-    sup = np.zeros((Cpad // SUP, 8), np.float32)
-    sup[:, 0:3] = out[:, 0:3].reshape(-1, SUP, 3).min(axis=1)
-    sup[:, 3:6] = out[:, 3:6].reshape(-1, SUP, 3).max(axis=1)
+            out[c, 6:8] = 0.0
+    Csup = Cpad // SUP
+    SupP = max(GROUP, -(-Csup // GROUP) * GROUP)
+    sup = np.full((SupP, 8), np.nan, np.float32)
+    n_valid_sup = -(-C // SUP)  # sups containing at least one valid cluster
+    for s_id in range(n_valid_sup):
+        lo, hi = s_id * SUP, min(s_id * SUP + SUP, C)
+        sup[s_id, 0:3] = out[lo:hi, 0:3].min(axis=0)
+        sup[s_id, 3:6] = out[lo:hi, 3:6].max(axis=0)
+        sup[s_id, 6:8] = 0.0
     return out, sup
 
 

@@ -45,7 +45,18 @@ def render_radiance(scene: Scene, options: RenderOptions, pixel_idx, sample0,
     jx = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_X))
     jy = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_Y))
     ro, rd = generate_rays(cam, px, py, jx, jy)
-    if options.grad_mode == "replay":
+    mode = options.grad_mode
+    if mode == "auto":
+        # AD-of-scan stores residuals per bounce: memory scales with
+        # wavefront x depth. Beyond ~2^24 path-bounces (half a 1080p frame
+        # at depth 7) switch to path-replay, whose backward memory is
+        # O(wavefront) at ~2x the FLOPs (replays each bounce).
+        mode = (
+            "replay"
+            if P * n_samples * (options.max_depth + 1) > (1 << 24)
+            else "ad"
+        )
+    if mode == "replay":
         from take_tpu.integrator.path_tracer import trace_mis_replay
 
         radiance = trace_mis_replay(scene, options, ro, rd, streams)

@@ -292,6 +292,40 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
     )
     return radiance
 
+
+def trace_query_counts(scene: Scene, options: RenderOptions, ro, rd, streams):
+    """Scene-query accounting for a batch of camera rays (bench honesty).
+
+    Returns (nominal, active) scalar query counts for this batch:
+      nominal = what the fixed-trip scan actually launches
+               (1 camera intersect + per trip: 1 shadow + 1 bounce, full
+                width — dead lanes still occupy the launch),
+      active  = queries on lanes that were alive at that bounce (shadow
+                queries only count non-specular live lanes, matching the
+                reference's NEE skip, path_tracing.h:24-26).
+    """
+    from take_tpu.materials.bsdf import is_specular, make_shade_point
+
+    N = ro.shape[0]
+    _, state = _camera_vertex(scene, ro, rd)
+
+    def bounce(carry, i):
+        state, nq, aq = carry
+        _, _, hit, active = state
+        spec = is_specular(make_shade_point(scene, hit))
+        live = jnp.sum(active.astype(jnp.int32))
+        shadow = jnp.sum((active & ~spec).astype(jnp.int32))
+        state, _, _ = _bounce_step(scene, streams, i, state)
+        return (state, nq + 2 * N, aq + live + shadow), None
+
+    # int32 is safe: callers batch <= 2^20 paths * <= 51 trips * 2 < 2^31;
+    # cross-batch accumulation happens on host in Python ints
+    init = (state, jnp.int32(N), jnp.int32(N))
+    (state, nominal, active), _ = jax.lax.scan(
+        bounce, init, jnp.arange(options.max_depth + 1, dtype=jnp.uint32)
+    )
+    return nominal, active
+
 # ---------------------------------------------------------------------------
 # Early-exit + path-replay driver
 # ---------------------------------------------------------------------------
@@ -391,12 +425,14 @@ def _replay_bwd(options, res, gbar):
         sg(scene), sg(ro), sg(rd), sg(streams), sg(L), sg(gbar)
     )
 
-    # camera-vertex cotangent (background + first-hit emission)
-    _, vjp0 = jax.vjp(lambda s: _camera_vertex(s, ro, rd)[0], scene)
+    # camera-vertex cotangent (background + first-hit emission): ONE
+    # evaluation serves the vjp, the prefix radiance A0, and the replay's
+    # initial state (has_aux keeps `state` out of differentiation)
+    A0, vjp0, state0 = jax.vjp(
+        lambda s: _camera_vertex(s, ro, rd), scene, has_aux=True
+    )
     (gacc,) = vjp0(gbar)
-    _, state0 = _camera_vertex(scene, ro, rd)
-
-    A0 = _camera_vertex(scene, ro, rd)[0]
+    A0, state0 = sg(A0), sg(state0)
     T0 = jnp.ones_like(ro)
 
     def cond(carry):

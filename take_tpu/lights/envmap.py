@@ -67,14 +67,18 @@ def build_envmap(data: np.ndarray, to_world4=None, scale=1.0) -> EnvMap:
     weights = (spread * sin_t[:, None]).ravel()
     prob, alias = build_alias_table(weights)
 
-    # per-texel solid-angle pdf: p_texel / omega_texel,
-    # omega_texel = (2 pi / W) (pi / H) sin(theta)
+    # Solid-angle pdf NUMERATOR: the sampler picks a texel with pmf
+    # p_texel and jitters uniformly in its uv extent, so the EXACT density
+    # at direction d is p_texel * W * H / (2 pi^2 sin(theta(d))) — theta at
+    # the actual direction, not the texel center (a center-sin approx put
+    # a small within-texel bias in every env MIS weight, round-2 weak #8).
+    # The table stores the theta-independent numerator; envmap_sample /
+    # envmap_pdf divide by the exact sin(theta).
     total = weights.sum()
     p_texel = (
         weights.reshape(H, W) / total if total > 0 else np.full((H, W), 1.0 / (H * W))
     )
-    omega = (2 * np.pi / W) * (np.pi / H) * np.maximum(sin_t[:, None], 1e-8)
-    pdf = p_texel / omega
+    pdf = p_texel * (W * H) / (2.0 * np.pi * np.pi)
 
     if to_world4 is None:
         R = np.eye(3)
@@ -155,14 +159,17 @@ def envmap_sample(env: EnvMap, u1, u2, u3):
     u = (tx.astype(u1.dtype) + ju) / W
     v = (ty.astype(u1.dtype) + jv) / H
     d = _uv_to_dir(env, u, v)
-    pdf = env.pdf[ty, tx]
+    sin_t = jnp.maximum(jnp.sin(v * C_PI), 1e-8)
+    pdf = env.pdf[ty, tx] / sin_t
     return d, pdf
 
 
 def envmap_pdf(env: EnvMap, d):
-    """Solid-angle pdf of sampling direction d via envmap_sample."""
+    """EXACT solid-angle pdf of sampling direction d via envmap_sample
+    (same numerator table, same exact-sin(theta) Jacobian)."""
     H, W = env.data.shape[:2]
     u, v = _dir_to_uv(env, d)
     tx = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
     ty = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
-    return env.pdf[ty, tx]
+    sin_t = jnp.maximum(jnp.sin(v * C_PI), 1e-8)
+    return env.pdf[ty, tx] / sin_t

@@ -32,10 +32,7 @@ from take_tpu.core.math import (
     to_world,
 )
 from take_tpu.core.sampling import sample_cos_power, sample_hemisphere_cos
-from take_tpu.materials.textures import (
-    eval_reflectance,
-    eval_reflectance_packed,
-)
+from take_tpu.materials.textures import eval_reflectance_packed
 from take_tpu.scene.types import (
     MAT_BLINN_PHONG,
     MAT_BLINN_PHONG_MICROFACET,

@@ -31,27 +31,6 @@ def eval_reflectance_packed(scene: Scene, mat_params, uv, const_val):
     return _bilinear_eval(scene, tex_id, scale, offset, kind, uv, const_val)
 
 
-def eval_reflectance(scene: Scene, mat_id, uv):
-    """Evaluate material `mat_id`'s reflectance texture slot at uv.
-
-    Args:
-        mat_id: [N] int32.
-        uv: [N, 2].
-    Returns:
-        [N, 3] linear RGB.
-    """
-    m = scene.materials
-    const_val = m.tex_value[mat_id]  # [N, 3]
-    if not scene.meta.has_image_textures:
-        return const_val
-
-    tex_id = m.tex_image[mat_id]
-    scale = m.tex_uvscale[mat_id]
-    offset = m.tex_uvoffset[mat_id]
-    kind = m.tex_kind[mat_id]
-    return _bilinear_eval(scene, tex_id, scale, offset, kind, uv, const_val)
-
-
 def _bilinear_eval(scene, tex_id, scale, offset, kind, uv, const_val):
     w = scene.textures.width[tex_id].astype(uv.dtype)  # [N]
     h = scene.textures.height[tex_id].astype(uv.dtype)

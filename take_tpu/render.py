@@ -26,15 +26,18 @@ from take_tpu.scene.types import RenderOptions, Scene
 
 
 def _trace_fn(options: RenderOptions):
-    if options.integrator == "mis":
-        # early-exit while-loop driver: identical estimator to the scan
-        # (bit-exact, tests/test_replay.py), stops when the wave dies —
-        # -max_depth 50 no longer costs 51 full-width bounces
+    if options.integrator in ("mis", "mis_scan"):
+        # lax.scan driver: the default for primal rendering. Measured on the
+        # chip (round 2/3): the while-loop replay driver compiles ~50x slower
+        # (449s vs 8.6s on cbox) for no steady-state win at bench depths, so
+        # the scan is the default; the early-exit driver is the explicit
+        # "mis_replay" option (worth it at -max_depth 50 with dying waves)
+        # and the gradient path (grad.py, O(wavefront) backward memory).
+        return trace_mis
+    if options.integrator == "mis_replay":
         from take_tpu.integrator.path_tracer import trace_mis_replay
 
         return trace_mis_replay
-    if options.integrator == "mis_scan":
-        return trace_mis
     if options.integrator == "one_sample_mis":
         from take_tpu.integrator.variants import trace_one_sample_mis
 
@@ -124,6 +127,9 @@ def render_image(scene: Scene, options: RenderOptions = RenderOptions(),
         bands.append((y, y2))
         y = y2
 
+    from take_tpu import config as _config
+
+    checks = _config.checks_enabled()
     n_passes = 0
     for (y0, y1) in bands:
         pix = jnp.arange(y0 * W, y1 * W, dtype=jnp.int32)
@@ -136,6 +142,11 @@ def render_image(scene: Scene, options: RenderOptions = RenderOptions(),
             )
             s += ns
             n_passes += 1
+            if checks and not bool(jnp.all(jnp.isfinite(band_acc))):
+                raise FloatingPointError(
+                    f"non-finite radiance in rows [{y0}, {y1}) after "
+                    f"sample {s} (TAKE_TPU_CHECKS=1)"
+                )
             if progress is not None:
                 progress(n_passes)
         acc = acc.at[y0 * W : y1 * W].set(band_acc)

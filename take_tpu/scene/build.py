@@ -71,18 +71,26 @@ def _pack_triangles(np_tri, Tpad, f, i32):
         aff_d[:, cols] = Minv[:, k, :].T  # [3, T]
         aff_o[:3, cols] = Minv[:, k, :].T
         aff_o[3, cols] = -np.einsum("tj,tj->t", Minv[:, k, :], v0)
-    # row-major sweep view of the same operands (one sublane per triangle)
-    # for the Pallas cluster pipeline; padded to a whole number of
-    # SUPERclusters (the sweep kernel's DMA granule may read any row of any
-    # supercluster, so the table must cover Cpad * K rows).
-    from take_tpu.geometry.bvh import CLUSTER_K, cluster_pad
+    # transposed per-supercluster granules of the same operands for the
+    # Pallas streaming sweep (pallas_cluster.py module docstring): rows
+    # (sup*24 + j) hold operand j of the sup's 512 triangles on lanes —
+    # the only layout whose HBM->VMEM DMA slices satisfy Mosaic's 128-lane
+    # alignment rule. Padding triangles are all-zero columns (the sweep
+    # rejects them as parallel, dw == 0).
+    from take_tpu.geometry.bvh import CLUSTER_K, SUP, cluster_pad
 
-    Tsw = max(cluster_pad(Tpad) * CLUSTER_K, Tpad)
-    sweep = np.zeros((Tsw, 24))
+    supt = SUP * CLUSTER_K
+    n_sup = cluster_pad(Tpad) // SUP
+    ops = np.zeros((24, n_sup * supt))
     for k in range(3):
         cols = slice(k * Tpad, (k + 1) * Tpad)
-        sweep[:Tpad, 4 * k : 4 * k + 4] = aff_o[:, cols].T
-        sweep[:Tpad, 12 + 3 * k : 15 + 3 * k] = aff_d[:, cols].T
+        ops[4 * k : 4 * k + 4, :Tpad] = aff_o[:, cols]
+        ops[12 + 3 * k : 15 + 3 * k, :Tpad] = aff_d[:, cols]
+    sweep = (
+        ops.reshape(24, n_sup, supt)
+        .transpose(1, 0, 2)
+        .reshape(n_sup * 24, supt)
+    )
     nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
     geo_n = nrm / np.where(nlen > 0, nlen, 1.0)
     attr = np.zeros((Tpad, T.ATTR_DIM))
@@ -288,7 +296,6 @@ class SceneBuilder:
         if build_bvh == "auto":
             build_bvh = n_tri + n_sph > 256
         bvh_np = None
-        tri_inv_order = None
         if build_bvh and n_tri > 0:
             from take_tpu.geometry.bvh import build_bvh as _wide_bvh
 
@@ -302,8 +309,6 @@ class SceneBuilder:
             )
             perm = np.arange(Tpad)
             perm[:n_tri] = order
-            tri_inv_order = np.empty(Tpad, np.int64)
-            tri_inv_order[perm] = np.arange(Tpad)
             np_tri = {k: v[perm] for k, v in np_tri.items()}
             from take_tpu.geometry.bvh import cluster_aabbs
 
@@ -370,41 +375,12 @@ class SceneBuilder:
         materials = T.MaterialArrays(
             attr=f(mat_attr),
             tag=i32([m.tag for m in mats]),
-            tex_kind=i32([m.tex_kind for m in mats]),
-            tex_value=f([m.tex_value for m in mats]),
-            tex_image=i32([m.tex_image for m in mats]),
-            tex_uvscale=f([m.tex_uvscale for m in mats]),
-            tex_uvoffset=f([m.tex_uvoffset for m in mats]),
-            eta=f([m.eta for m in mats]),
-            exponent=f([m.exponent for m in mats]),
-            roughness=f([m.roughness for m in mats]),
-            subsurface=f([m.subsurface for m in mats]),
-            anisotropic=f([m.anisotropic for m in mats]),
-            metallic=f([m.metallic for m in mats]),
-            spec_trans=f([m.spec_trans for m in mats]),
-            specular=f([m.specular for m in mats]),
-            specular_tint=f([m.specular_tint for m in mats]),
-            sheen=f([m.sheen for m in mats]),
-            sheen_tint=f([m.sheen_tint for m in mats]),
-            clearcoat=f([m.clearcoat for m in mats]),
-            clearcoat_gloss=f([m.clearcoat_gloss for m in mats]),
         )
 
         # --- lights: power pmf/cdf (light.cpp:25-30: lum * area * pi) ---
         if n_lights:
             tag = np.array([l["tag"] for l in self._lights])
             intensity = np.stack([l["intensity"] for l in self._lights])
-            position = np.stack(
-                [l.get("position", np.zeros(3)) for l in self._lights]
-            )
-            shape_kind = np.array([l.get("shape_kind", 0) for l in self._lights])
-            shape_idx = np.array([l.get("shape_idx", 0) for l in self._lights])
-            if tri_inv_order is not None:
-                is_tri = (tag == T.LIGHT_AREA) & (shape_kind == T.SHAPE_TRI)
-                shape_idx = np.where(
-                    is_tri, tri_inv_order[np.clip(shape_idx, 0, Tpad - 1)],
-                    shape_idx,
-                )
             area = np.array([l.get("area", 0.0) for l in self._lights])
             lum = (
                 intensity[:, 0] * 0.212671
@@ -417,11 +393,6 @@ class SceneBuilder:
             cdf = np.cumsum(pmf)
         else:
             tag = np.array([T.LIGHT_POINT])
-            intensity = np.zeros((1, 3))
-            position = np.zeros((1, 3))
-            shape_kind = np.zeros(1, np.int64)
-            shape_idx = np.zeros(1, np.int64)
-            area = np.zeros(1)
             pmf = np.ones(1)
             cdf = np.ones(1)
         # packed per-light sampling operands: shape geometry resolved now so
@@ -451,11 +422,6 @@ class SceneBuilder:
                 lattr[li, T.LATTR_RADIUS] = sph[1]
         lights = T.LightArrays(
             tag=i32(tag),
-            intensity=f(intensity),
-            position=f(position),
-            shape_kind=i32(shape_kind),
-            shape_idx=i32(shape_idx),
-            area=f(area),
             power_pmf=f(pmf),
             power_cdf=f(cdf),
             attr=f(lattr),

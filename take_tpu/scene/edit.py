@@ -1,10 +1,16 @@
 """Functional scene parameter edits (the inverse-rendering handles).
 
 The compute path reads the PACKED attribute tables (materials.attr,
-lights.attr, geometry.tri_attr/sph_attr) — those are the differentiable
-surface. The legacy per-field arrays are kept in sync for inspection. These
-helpers write through to every copy so an edited scene renders consistently
-and gradients flow where expected.
+lights.attr, geometry.tri_attr/sph_attr) — those are the single
+differentiable source of truth, and the ONLY thing these helpers write
+(the per-field duplicates were deleted in round 3).
+
+What a training step must recompute after GEOMETRY edits (none of the
+helpers here touch geometry): tri_affine_o/d + tri_sweep (derived affine
+operands, scene/build.py::_pack_triangles) and the BVH tables incl.
+cl_aabb/sup_aabb — rebuild through SceneBuilder. Material/light/texture
+edits need no derived-table rebuilds except the envmap sampling tables for
+large distribution shifts (see with_envmap_data).
 """
 
 import dataclasses
@@ -19,10 +25,8 @@ def with_material_reflectance(scene, mat_id: int, rgb):
     rgb = jnp.asarray(rgb)
     m = scene.materials
     attr = m.attr.at[mat_id, T.MATTR_TEX_VALUE : T.MATTR_TEX_VALUE + 3].set(rgb)
-    tex_value = m.tex_value.at[mat_id].set(rgb)
     return dataclasses.replace(
-        scene,
-        materials=dataclasses.replace(m, attr=attr, tex_value=tex_value),
+        scene, materials=dataclasses.replace(m, attr=attr)
     )
 
 
@@ -45,9 +49,8 @@ def with_material_param(scene, mat_id: int, name: str, value):
     }[name]
     m = scene.materials
     attr = m.attr.at[mat_id, col].set(value)
-    legacy = getattr(m, name).at[mat_id].set(value)
     return dataclasses.replace(
-        scene, materials=dataclasses.replace(m, attr=attr, **{name: legacy})
+        scene, materials=dataclasses.replace(m, attr=attr)
     )
 
 
@@ -61,9 +64,7 @@ def with_light_intensity_scale(scene, scale):
     sph = g.sph_attr.at[:, T.SATTR_EMIT : T.SATTR_EMIT + 3].multiply(scale)
     return dataclasses.replace(
         scene,
-        lights=dataclasses.replace(
-            L, attr=lat, intensity=L.intensity * scale
-        ),
+        lights=dataclasses.replace(L, attr=lat),
         geometry=dataclasses.replace(g, tri_attr=tri, sph_attr=sph),
     )
 

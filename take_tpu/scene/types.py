@@ -100,11 +100,15 @@ class GeometryArrays:
     # [N, 2T:]=w slices.
     tri_affine_o: Any  # [4, 3T]  homogeneous origin map
     tri_affine_d: Any  # [3, 3T]  direction map
-    # Row-major view of the same affine operands for the Pallas sweep kernels
-    # (one sublane per triangle): row t = (o_u[4], o_v[4], o_w[4], d_u[3],
-    # d_v[3], d_w[3], pad3). Padded rows are all-zero => dd_w == 0 => the
-    # parallel-ray reject masks them, so no extra count masking is needed.
-    tri_sweep: Any  # [ceil(T/K)*K, 24]  (K = pallas_cluster.CLUSTER_K)
+    # Transposed per-supercluster granules of the same affine operands for
+    # the Pallas streaming sweep (pallas_cluster.py): rows (sup*24 + j)
+    # hold operand j (o_u[4], o_v[4], o_w[4], d_u[3], d_v[3], d_w[3],
+    # pad[3]) of that supercluster's SUPT triangles on lanes. Padding
+    # triangles are all-zero columns => dw == 0 => the parallel-ray reject
+    # masks them. The table covers WHOLE (padded) superclusters — the
+    # kernel DMAs [24, SUPT] granules, so a tighter allocation would let
+    # the DMA read out of bounds.
+    tri_sweep: Any  # [(cluster_pad(Tpad)/SUP)*24, SUPT]
     tri_attr: Any  # [T, ATTR_DIM] packed shading attributes
     sph_center: Any  # [S, 3]
     sph_radius: Any  # [S]
@@ -123,25 +127,12 @@ class MaterialArrays:
     texture variant (texture.h:27) is inlined as a per-material texture slot.
     """
 
-    tag: Any  # [M] int32
-    tex_kind: Any  # [M] int32 (TEX_CONST | TEX_IMAGE)
-    tex_value: Any  # [M, 3] const color
-    tex_image: Any  # [M] int32 atlas index
-    tex_uvscale: Any  # [M, 2]
-    tex_uvoffset: Any  # [M, 2]
-    eta: Any  # [M]
-    exponent: Any  # [M]
-    roughness: Any  # [M]
-    subsurface: Any  # [M]
-    anisotropic: Any  # [M]
-    metallic: Any  # [M]
-    spec_trans: Any  # [M]
-    specular: Any  # [M]
-    specular_tint: Any  # [M]
-    sheen: Any  # [M]
-    sheen_tint: Any  # [M]
-    clearcoat: Any  # [M]
-    clearcoat_gloss: Any  # [M]
+    tag: Any  # [M] int32 (introspection; the traced tag lives in attr[:, 0])
+    # `attr` is the SINGLE differentiable source of truth for every material
+    # parameter (slots MATTR_*, including the reflectance texture binding) —
+    # the compute path reads nothing else, and scene/edit.py writes nothing
+    # else. Round-1/2 carried ~19 per-field duplicates that an optimizer
+    # step had to keep in sync; they are gone.
     attr: Any  # [Mpad, MATTR_DIM] packed parameters (one-hot dispatch)
 
 
@@ -155,14 +146,13 @@ class LightArrays:
     scene.h:28-29 ⚠), so power-proportional light sampling works.
     """
 
-    tag: Any  # [L] int32
-    intensity: Any  # [L, 3]
-    position: Any  # [L, 3] (point lights)
-    shape_kind: Any  # [L] int32 (area lights: SHAPE_TRI | SHAPE_SPHERE)
-    shape_idx: Any  # [L] int32 index into tri/sphere arrays
-    area: Any  # [L] shape surface area
+    tag: Any  # [L] int32 (variants.py one-sample techniques read it)
     power_pmf: Any  # [L]
     power_cdf: Any  # [L] inclusive cdf
+    # `attr` (slots LATTR_*) is the single source for per-light sampling
+    # operands: intensity, position/vertices, radius, inverse area. The
+    # per-field duplicates were removed with the material ones (edit.py
+    # writes one place).
     attr: Any  # [Lpad, LATTR_DIM] packed sampling operands (build.py)
 
 
@@ -194,7 +184,8 @@ class EnvMap:
     # Alias table over all H*W texels of the luminance-weighted distribution.
     alias_prob: Any  # [H*W] acceptance probability
     alias_idx: Any  # [H*W] alias index
-    pdf: Any  # [H, W] solid-angle pdf of each texel's direction
+    pdf: Any  # [H, W] pdf NUMERATOR pmf*W*H/(2 pi^2); exact solid-angle
+    # pdf(d) = pdf[texel(d)] / sin(theta(d))  (lights/envmap.py)
     to_world: Any  # [3, 3] rotation
     to_local: Any  # [3, 3] inverse rotation
     scale: Any  # [] radiance multiplier
@@ -234,11 +225,15 @@ class BVHArrays:
     # Flat cluster AABBs for the streaming cull+sweep pipeline
     # (geometry/pallas_cluster.py): cluster c covers the Morton-ordered
     # triangle run [c*K, (c+1)*K). Row = (min.xyz, max.xyz, 0, 0); padding
-    # clusters carry inverted boxes so every slab test misses.
+    # clusters carry all-NaN rows so every slab comparison is false (an
+    # inverted box would NOT miss — min/max slab semantics turn it into an
+    # all-space box). Second line of defense: padded tri_sweep rows are
+    # all-zero and reject as parallel.
     cl_aabb: Any  # [Cpad, 8] f32
-    # Supercluster AABBs: union of SUP consecutive clusters — the cull
-    # table + the HBM->VMEM DMA granule of the sweep kernel.
-    sup_aabb: Any  # [Cpad/SUP, 8] f32
+    # Supercluster AABBs: union of SUP consecutive clusters — the sweep
+    # kernel's slab-cull table + HBM->VMEM DMA granule index. Padded to a
+    # multiple of pallas_cluster GROUP with NaN rows.
+    sup_aabb: Any  # [SupP, 8] f32
 
 
 @dataclass(frozen=True)
@@ -248,9 +243,10 @@ class RenderOptions:
 
     spp: int = 4
     max_depth: int = 50
-    # "mis" (early-exit while-loop driver) | "mis_scan" (fixed-trip lax.scan,
-    # same estimator bit-for-bit) | "one_sample_mis" | "one_sample_mis_power"
-    # | "raw"
+    # "mis" (fixed-trip lax.scan driver — the default; "mis_scan" is an
+    # accepted alias) | "mis_replay" (early-exit while-loop driver, same
+    # estimator bit-for-bit; ~50x slower compile, wins at deep max_depth
+    # with dying waves) | "one_sample_mis" | "one_sample_mis_power" | "raw"
     integrator: str = "mis"
     seed: int = 0
     # Gradient strategy for render_radiance/render_loss_grad: "ad" = plain

@@ -37,7 +37,6 @@ def _rays(rng_np, N, spread=15.0):
 
 def _run(scene, ro_p, rd_p, tmin_p, tmax_p, any_hit):
     return cluster_traverse(
-        scene.bvh.cl_aabb,
         scene.bvh.sup_aabb,
         scene.geometry.tri_sweep,
         ro_p, rd_p, tmin_p, tmax_p,

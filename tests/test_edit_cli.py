@@ -25,10 +25,6 @@ def test_reflectance_edit_changes_render():
     a = render_image(scene, RenderOptions(spp=32, max_depth=3, seed=1))
     b = render_image(bright, RenderOptions(spp=32, max_depth=3, seed=1))
     assert b[3:5, 3:5].mean() > a[3:5, 3:5].mean() * 1.5
-    # write-through keeps the legacy field in sync
-    np.testing.assert_allclose(
-        np.asarray(bright.materials.tex_value[0]), [0.9, 0.9, 0.9]
-    )
     np.testing.assert_allclose(
         np.asarray(
             bright.materials.attr[0, T.MATTR_TEX_VALUE : T.MATTR_TEX_VALUE + 3]
@@ -41,7 +37,6 @@ def test_material_param_edit():
     scene = cornell_box(width=8, height=8).build()
     s2 = with_material_param(scene, 0, "roughness", 0.77)
     assert float(s2.materials.attr[0, T.MATTR_ROUGHNESS]) == np.float32(0.77)
-    assert float(s2.materials.roughness[0]) == np.float32(0.77)
 
 
 def test_light_scale_write_through():

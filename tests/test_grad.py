@@ -56,7 +56,8 @@ def test_cbox_albedo_grad_matches_fd():
     n_samples = 128
 
     def f(delta):
-        base = scene.materials.tex_value[0]  # white walls
+        from take_tpu.scene import types as _T
+        base = scene.materials.attr[0, _T.MATTR_TEX_VALUE : _T.MATTR_TEX_VALUE + 3]  # white walls
         s = _with_albedo(scene, 0, base + delta)
         img = render_radiance(s, options, pix, jnp.int32(0), n_samples)
         return img.mean()

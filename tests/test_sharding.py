@@ -55,9 +55,9 @@ def test_sharded_gradients_match(scene):
     pix_sharded = jax.device_put(pix, NamedSharding(mesh, P("rays")))
     g_sharded = jax.jit(jax.grad(loss, allow_int=True))(s_repl, pix_sharded)
 
-    a = np.asarray(g_single.materials.tex_value)
-    b = np.asarray(g_sharded.materials.tex_value)
+    a = np.asarray(g_single.materials.attr)
+    b = np.asarray(g_sharded.materials.attr)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
-    c = np.asarray(g_single.lights.intensity)
-    d = np.asarray(g_sharded.lights.intensity)
+    c = np.asarray(g_single.lights.attr)
+    d = np.asarray(g_sharded.lights.attr)
     np.testing.assert_allclose(c, d, rtol=1e-5, atol=1e-7)
