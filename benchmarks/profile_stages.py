@@ -3,10 +3,14 @@ shade+sample costs at the bench batch size so optimization effort goes where
 the milliseconds are. Not part of the test suite."""
 
 import dataclasses
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from take_tpu.config import enable_compile_cache
 

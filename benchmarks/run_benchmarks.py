@@ -1,22 +1,71 @@
 #!/usr/bin/env python
-"""Benchmark harness: the five BASELINE configs + throughput report.
+"""Benchmark harness: the five BASELINE configs + throughput and parity.
 
-Usage: python benchmarks/run_benchmarks.py [--quick] [--json OUT]
+Usage: python benchmarks/run_benchmarks.py [--quick] [--json OUT] [--parity]
 
 Runs on whatever backend JAX selects (the real TPU chip in this
-environment). --quick reduces resolution/spp for smoke runs.
+environment). --quick reduces resolution/spp for smoke runs. --parity also
+renders each scene with the C++ reference binary (cached under /tmp) and
+reports statistical image-parity metrics (reference RNG is
+nondeterministic, so comparison is mean + block bands, SURVEY §4.2).
 """
 
 import argparse
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(ROOT, "scenes"))
 sys.path.insert(0, ROOT)  # `python benchmarks/run_benchmarks.py` from anywhere
+
+REF_BIN = "/root/ref_build/build/take"
+
+
+def parity_stats(ours, ref):
+    """Statistical parity metrics between two renders of one scene.
+
+    Resolutions may differ by an integer factor (box-filter block means
+    estimate the same continuous image under jittered sampling).
+    """
+    import numpy as np
+
+    H, W = ours.shape[:2]
+    fy, fx = ref.shape[0] // H, ref.shape[1] // W
+    if fy > 1 or fx > 1:
+        ref = ref.reshape(H, fy, W, fx, 3).mean(axis=(1, 3))
+    m_ref = ref.mean(axis=(0, 1))
+    m_ours = ours.mean(axis=(0, 1))
+    mean_rel = float(np.abs(m_ours - m_ref).sum() / (m_ref.sum() + 1e-12))
+    nb = 16 if H % 16 == 0 else 8
+    b = H // nb
+    r = ref[: nb * b, : nb * b].reshape(nb, b, nb, b, 3).mean(axis=(1, 3)).sum(-1)
+    o = ours[: nb * b, : nb * b].reshape(nb, b, nb, b, 3).mean(axis=(1, 3)).sum(-1)
+    rel = np.abs(o - r) / (r + 0.05)
+    return {
+        "mean_rel_err": round(mean_rel, 5),
+        "block_rel_median": round(float(np.median(rel)), 5),
+        "block_rel_p99": round(float(np.quantile(rel, 0.99)), 5),
+    }
+
+
+def reference_render(name, scene_path, max_depth):
+    """Render via the C++ reference binary, cached under /tmp."""
+    cache = f"/tmp/take_golden_{name}.exr"
+    if not os.path.exists(cache):
+        if not os.path.exists(REF_BIN):
+            return None
+        subprocess.run(
+            [REF_BIN, os.path.abspath(scene_path), "-max_depth", str(max_depth)],
+            cwd="/tmp", check=True, capture_output=True, timeout=7200,
+        )
+        os.replace("/tmp/image.exr", cache)
+    from take_tpu.io.exr import read_exr
+
+    return read_exr(cache)
 
 CONFIGS = [
     # (name, scene, res_override, spp, max_depth) — the five BASELINE.json
@@ -34,6 +83,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json", default=None)
     ap.add_argument("--only", default=None)
+    ap.add_argument("--parity", action="store_true",
+                    help="compare each render vs the C++ reference binary")
     args = ap.parse_args()
 
     from generate import ensure_assets
@@ -97,6 +148,12 @@ def main():
             "Mrays_per_sec": round(rays / dt / 1e6, 3),
             "mean_radiance": [round(float(c), 5) for c in img.mean(axis=(0, 1))],
         }
+        if args.parity and not args.quick:
+            ref = reference_render(
+                name.split("_")[0], os.path.join(ROOT, "scenes", rel), depth
+            )
+            if ref is not None and ref.shape == img.shape:
+                results[name]["parity_vs_reference"] = parity_stats(img, ref)
         write_exr(os.path.join(outdir, f"{name}.exr"), img)
         print(name, json.dumps(results[name]))
 

@@ -53,7 +53,7 @@ from take_tpu.scene.types import (
 # role of the reference's determinant test (take.h:30, shape.cpp:58).
 _DW_EPS = 1e-12
 
-_BIG = jnp.float32(3.4e38)
+_BIG = 3.4e38  # plain float: no import-time backend init (see traverse.py)
 
 
 def _tri_uvt(g, ro, rd, tmin, tmax, n_tri):

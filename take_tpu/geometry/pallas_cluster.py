@@ -169,10 +169,10 @@ def _group_dma(tri_hbm, tbuf, sem, sup, slot):
     )
 
 
-def _sweep_sup(tbuf, sup, oh, rdm, tmin, carry):
+def _sweep_sup(tbuf, sup, oh, rdm, tmin, tmax, carry):
     """Closest-hit sweep of one DMA'd supercluster; returns updated carry."""
     t_best, u_best, v_best, p_best = carry
-    t, u, v, ok = _mt_sup(tbuf, oh, rdm, tmin, t_best)
+    t, u, v, ok = _mt_sup(tbuf, oh, rdm, tmin, jnp.minimum(t_best, tmax))
     tm = jnp.where(ok, t, _BIG)
     row = jnp.argmin(tm, axis=0)  # first (lowest) row on ties
     tnew = jnp.min(tm, axis=0)[None, :]
@@ -211,7 +211,12 @@ def _sweep_kernel(
     def group_body(g, carry):
         t_best = carry[0]
         boxes = sup_ref[pl.ds(pl.multiple_of(g * GROUP, GROUP), GROUP), :]
-        hit = _slab_rows(boxes, ox, oy, oz, ix, iy, iz, tmin, t_best)
+        # cap at per-lane tmax too: shadow rays stop at the light distance
+        # and dead lanes (tmax = -BIG) never DMA anything
+        hit = _slab_rows(
+            boxes, ox, oy, oz, ix, iy, iz, tmin,
+            jnp.minimum(t_best, tmax),
+        )
         any8 = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
 
         # start every hit supercluster's copy first: they overlap the sweeps
@@ -226,7 +231,7 @@ def _sweep_kernel(
             def sweep(c, w=w):
                 _group_dma(tri_hbm, tbufs[w], sem, g * GROUP + w, w).wait()
                 return _sweep_sup(
-                    tbufs[w], g * GROUP + w, oh, rdm, tmin, c
+                    tbufs[w], g * GROUP + w, oh, rdm, tmin, tmax, c
                 )
 
             carry = jax.lax.cond(any8[w, 0] > 0, sweep, lambda c: c, carry)

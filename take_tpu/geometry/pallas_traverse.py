@@ -97,6 +97,7 @@ def _kernel(
     v_out,
     prim_out,  # [1, 1, B] int32
     stack_ref,  # SMEM [STACK] int32 scratch — the shared packet stack
+    any_hit: bool = False,  # static: stop once every live lane is occluded
 ):
     B = ro_ref.shape[2]
     Tpad = tris_ref.shape[0]
@@ -111,6 +112,9 @@ def _kernel(
     inv_y = 1.0 / jnp.where(jnp.abs(rdy) < 1e-20, 1e-20, rdy)
     inv_z = 1.0 / jnp.where(jnp.abs(rdz) < 1e-20, 1e-20, rdz)
     tmin = tmin_ref[0, :, :]  # [1, B]
+    tmax = tmax_ref[0, :, :]  # [1, B] — honored DURING traversal: shadow
+    # rays stop at the light distance instead of sweeping the whole scene,
+    # and dead integrator lanes (tmax = -BIG) cull every box instantly
     oh = jnp.concatenate([rox, roy, roz, jnp.ones((1, B))], axis=0)  # [4, B]
     rdm = jnp.concatenate([rdx, rdy, rdz], axis=0)  # [3, B]
 
@@ -142,7 +146,7 @@ def _kernel(
         ok = (
             (~parallel)
             & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t >= tmin) & (t < t_best)
+            & (t >= tmin) & (t < t_best) & (t <= tmax)
             & (rel >= 0) & (rel < cnt)
         )
         t_m = jnp.where(ok, t, _BIG)
@@ -161,9 +165,18 @@ def _kernel(
             ),
         )
 
-    def cond(state):
-        sp, *_ = state
-        return sp > 0
+    if any_hit:
+        live = tmax >= tmin  # [1, B]; padding/dead lanes are never pending
+
+        def cond(state):
+            sp, _, _, _, p_best = state
+            pending = jnp.sum(((p_best < 0) & live).astype(jnp.int32)) > 0
+            return (sp > 0) & pending
+    else:
+
+        def cond(state):
+            sp, *_ = state
+            return sp > 0
 
     def body(state):
         sp, t_best, u_best, v_best, p_best = state
@@ -187,7 +200,11 @@ def _kernel(
         lo_z, hi_z = slab(bz, BZ, roz, inv_z)
         tlo = jnp.maximum(jnp.maximum(lo_x, lo_y), lo_z)
         thi = jnp.minimum(jnp.minimum(hi_x, hi_y), hi_z)
-        hit = (tlo <= thi) & (thi >= tmin) & (tlo <= t_best)  # [W, B]
+        hit = (
+            (tlo <= thi)
+            & (thi >= tmin)
+            & (tlo <= jnp.minimum(t_best, tmax))
+        )  # [W, B]
         # int32: Mosaic can only extract 32-bit scalars, not bools
         any_hit_v = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
 
@@ -232,13 +249,17 @@ def _kernel(
     prim_out[0, :, :] = jnp.where(ok, p_best, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def packet_traverse(nodes, tris, ro, rd, tmin, tmax, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "any_hit"))
+def packet_traverse(nodes, tris, ro, rd, tmin, tmax, interpret: bool = False,
+                    any_hit: bool = False):
     """Traverse rays [N, 3] against the VMEM-resident wide BVH.
 
     Args are the prep_tables views + flat ray SoA. Returns (t [N], u [N],
     v [N], prim [N]); t == 3.4e38 marks a miss. N must be a multiple of
-    BLOCK (caller pads).
+    BLOCK (caller pads). any_hit=True keeps the same outputs but lets a
+    block stop as soon as every live lane found SOME occluder — the true
+    any-hit query the reference lacks (scene_occluded is a closest-hit,
+    scene.cpp:49-63 ⚠).
     """
     N = ro.shape[0]
     n_blocks = N // BLOCK
@@ -259,7 +280,7 @@ def packet_traverse(nodes, tris, ro, rd, tmin, tmax, interpret: bool = False):
     )
 
     t, u, v, prim = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, any_hit=any_hit),
         grid=(n_blocks,),
         in_specs=[
             full(nodes.shape), full(tris.shape),

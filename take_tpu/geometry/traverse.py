@@ -20,7 +20,10 @@ from take_tpu.scene.types import ATTR_EMIT, Hit, Scene
 
 STACK = 48
 
-_BIG = jnp.float32(3.4e38)
+# plain float, NOT jnp.float32(...): a module-level jax scalar initializes
+# the XLA backend at import, which breaks jax.distributed.initialize in
+# multi-process launches (it must run before any backend init)
+_BIG = 3.4e38
 
 # VMEM budget for the packet kernel's resident tables (node boxes + triangle
 # affine operands). The chip has ~128MB VMEM (measured on v5e); the kernel
@@ -385,10 +388,32 @@ def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
         if do_sort:
             found = found[inv]
     elif _packet_eligible(scene):
-        # closest-hit within [tmin, tmax] doubles as any-hit (the reference's
-        # scene_occluded is a full closest-hit too, scene.cpp:49-63);
-        # _traverse_backend bins the rays
-        *_, found = _traverse_backend(scene, ro, rd, tmin, tmax)
+        # TRUE any-hit packet query: blocks stop at the first occluder for
+        # every live lane (fixes the reference's closest-hit scene_occluded,
+        # scene.cpp:49-63 ⚠)
+        from take_tpu.geometry.intersect import _pad_rays
+        from take_tpu.geometry.pallas_traverse import (
+            BLOCK,
+            packet_traverse,
+            prep_tables,
+        )
+
+        scene, ro, rd = sg(scene), sg(ro), sg(rd)
+        tmin, tmax = sg(tmin), sg(tmax)
+        N = ro.shape[0]
+        do_sort = config.RAY_SORT and N >= _SORT_MIN_RAYS
+        if do_sort:
+            perm, inv = _coherence_perm(scene, ro, rd)
+            ro, rd = ro[perm], rd[perm]
+            tmin, tmax = tmin[perm], tmax[perm]
+        Np, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, BLOCK)
+        nodes, tris = prep_tables(scene)
+        *_, prim = packet_traverse(
+            nodes, tris, ro_p, rd_p, tmin_p, tmax_p, any_hit=True
+        )
+        found = prim[:N] >= 0
+        if do_sort:
+            found = found[inv]
     else:
         *_, found = _traverse(
             sg(scene), sg(ro), sg(rd), sg(tmin), sg(tmax), any_hit=True

@@ -152,10 +152,14 @@ def _bounce_step(scene: Scene, streams, i, state):
             is_env = jnp.zeros(N, bool)
 
         # Occlusion: tmax = (1 - eps) * d (path_tracing.h:53-54); origin
-        # offset off the surface to avoid f32 self-shadowing
+        # offset off the surface to avoid f32 self-shadowing. Lanes whose
+        # NEE result is unused (dead or specular, path_tracing.h:24-26) get
+        # tmax = -BIG: traversal culls them at the first box test.
         shadow_o = offset_origin(hit.pos, hit.geo_n, light_dir)
+        nee_live = active & ~spec
         shadow_occ = occluded(
-            scene, shadow_o, light_dir, jnp.full(N, eps), tmax_shadow
+            scene, shadow_o, light_dir, jnp.full(N, eps),
+            jnp.where(nee_live, tmax_shadow, -3.4e38),
         )
         FG = bsdf_eval(scene, sp, dir_in, light_dir)
         bp = bsdf_pdf(scene, sp, dir_in, light_dir)
@@ -201,7 +205,12 @@ def _bounce_step(scene: Scene, streams, i, state):
     sample_ok = bpdf > 0.0
 
     new_ro = offset_origin(hit.pos, hit.geo_n, dir_out)
-    new_hit = intersect_scene(scene, new_ro, dir_out, tmin0, tmax0)
+    # dead lanes trace instantly-culled rays (tmax = -BIG): on BVH scenes a
+    # mostly-terminated wave stops paying full traversal per bounce
+    new_hit = intersect_scene(
+        scene, new_ro, dir_out, tmin0,
+        jnp.where(active & sample_ok, tmax0, -3.4e38),
+    )
 
     contrib = safe_div(FG, bpdf[:, None], 0.0)  # FG / bsdf_pdf
 

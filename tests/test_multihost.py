@@ -38,6 +38,11 @@ def _worker_env(n_local_devices):
         f"--xla_force_host_platform_device_count={n_local_devices}"
     )
     env["XLA_FLAGS"] = " ".join(flags)
+    # the TPU-tunnel sitecustomize initializes the XLA backend at import,
+    # which jax.distributed.initialize forbids — disable it for these
+    # CPU-only worker processes
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     return env
 
 
