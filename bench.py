@@ -84,9 +84,9 @@ def main():
         frac_den += int(nom)
     active_fraction = frac_num / max(frac_den, 1)
 
-    # sharding-overhead efficiency on the virtual 8-device CPU mesh
-    # (benchmarks/scaling.py; see its docstring for what the fake mesh can
-    # and cannot measure). Subprocess so the TPU client stays exclusive.
+    # weak-scaling efficiency of the real multi-host path: N single-device
+    # CPU processes, one physical core each (benchmarks/scaling.py).
+    # Subprocess so the TPU client stays exclusive.
     import os
     import subprocess
 
@@ -100,7 +100,9 @@ def main():
         )
         for line in out.stdout.strip().splitlines()[::-1]:
             if line.startswith("{"):
-                efficiency = json.loads(line)["efficiency_8dev"]
+                efficiency = json.loads(line)[
+                    "weak_scaling_efficiency_2proc"
+                ]
                 break
     except Exception:
         pass
@@ -159,7 +161,7 @@ def main():
         "grad_norm_finite": bool(gnorm == gnorm and gnorm != float("inf")),
     }
     if efficiency is not None:
-        record["virtual8_efficiency"] = efficiency
+        record["weak_scaling_efficiency_2proc"] = efficiency
     print(json.dumps(record))
     return 0
 

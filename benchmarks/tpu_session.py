@@ -98,6 +98,85 @@ def main():
             print("[room_profile] FAIL", type(e).__name__, str(e)[:300],
                   flush=True)
 
+    if _step("room_stages"):
+        try:
+            from take_tpu.geometry.intersect import intersect_scene
+            from take_tpu.geometry.pallas_traverse import (
+                packet_traverse, prep_tables,
+            )
+            from take_tpu.geometry.traverse import _coherence_perm
+
+            scene = parse_scene_file(os.path.join(ROOT, "scenes/room/room.xml"))
+            N = 1 << 18
+            rng = np.random.default_rng(3)
+            lo = np.asarray(jnp.nanmin(scene.bvh.sup_aabb[:, 0:3], axis=0))
+            hi = np.asarray(jnp.nanmax(scene.bvh.sup_aabb[:, 3:6], axis=0))
+            ro = jnp.asarray(rng.uniform(lo, hi, (N, 3)).astype(np.float32))
+            d = rng.normal(size=(N, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            rd = jnp.asarray(d)
+            tmin = jnp.full(N, 1e-3)
+            tmax = jnp.full(N, jnp.inf)
+
+            # (a) raw binned packet traversal, no shading
+            nodes, tris = prep_tables(scene)
+
+            def raw(ro_q, rd_q, tmin_q, tmax_q):
+                perm, inv = _coherence_perm(scene, ro_q, rd_q)
+                t, u, v, p = packet_traverse(
+                    nodes, tris, ro_q[perm], rd_q[perm],
+                    tmin_q[perm], tmax_q[perm],
+                )
+                return t[inv]
+
+            dt, _ = timed(jax.jit(raw), ro, rd, tmin, tmax)
+            print(f"[stages] raw binned packet: {N/dt/1e6:.1f} Mrays/s "
+                  f"({dt*1e3:.0f} ms)", flush=True)
+            # (b) full intersect_scene (traversal + merge/shade attributes)
+            f_int = jax.jit(lambda *a: intersect_scene(scene, *a).t)
+            dt, _ = timed(f_int, ro, rd, tmin, tmax)
+            print(f"[stages] intersect_scene: {N/dt/1e6:.1f} Mrays/s "
+                  f"({dt*1e3:.0f} ms)", flush=True)
+        except Exception as e:
+            print("[room_stages] FAIL", type(e).__name__, str(e)[:300],
+                  flush=True)
+
+    if _step("room_tune"):
+        try:
+            from take_tpu.geometry.pallas_traverse import (
+                packet_traverse, prep_tables,
+            )
+            from take_tpu.geometry.traverse import _coherence_perm
+
+            scene = parse_scene_file(os.path.join(ROOT, "scenes/room/room.xml"))
+            N = 1 << 18
+            rng = np.random.default_rng(3)
+            lo = np.asarray(jnp.nanmin(scene.bvh.sup_aabb[:, 0:3], axis=0))
+            hi = np.asarray(jnp.nanmax(scene.bvh.sup_aabb[:, 3:6], axis=0))
+            ro = jnp.asarray(rng.uniform(lo, hi, (N, 3)).astype(np.float32))
+            d = rng.normal(size=(N, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            rd = jnp.asarray(d)
+            tmin = jnp.full(N, 1e-3)
+            tmax = jnp.full(N, jnp.inf)
+            nodes, tris = prep_tables(scene)
+
+            for blk in [64, 128, 256]:
+                def raw(ro_q, rd_q, tmin_q, tmax_q, blk=blk):
+                    perm, inv = _coherence_perm(scene, ro_q, rd_q)
+                    t, *_ = packet_traverse(
+                        nodes, tris, ro_q[perm], rd_q[perm],
+                        tmin_q[perm], tmax_q[perm], block=blk,
+                    )
+                    return t[inv]
+
+                dt, _ = timed(jax.jit(raw), ro, rd, tmin, tmax)
+                print(f"[tune] block={blk}: incoherent "
+                      f"{N/dt/1e6:.1f} Mrays/s", flush=True)
+        except Exception as e:
+            print("[room_tune] FAIL", type(e).__name__, str(e)[:300],
+                  flush=True)
+
     if _step("room_cluster"):
         try:
             from take_tpu import config as _config

@@ -46,6 +46,19 @@ FORCE_CLUSTER = False
 # both kernels' work bounds depend on. Trace-time switch like PALLAS_BRUTE.
 RAY_SORT = True
 
+# Rays per packet for the packet traversal kernel (pallas_traverse.py).
+# Smaller blocks tighten the any-ray-hit union on incoherent waves at the
+# cost of more scalar stack work per ray.
+PACKET_BLOCK = 256
+
+# Two-phase closest-hit for BVH scenes (geometry/traverse.py): phase 1 caps
+# every ray at TWO_PHASE_FRAC * scene diagonal (tight per-block node unions
+# around the binned origins), then lanes it could not resolve are compacted
+# to the front and re-traced at full range. Estimator-exact; typically
+# resolves the bulk of bounce rays at a fraction of the traversal cost.
+TWO_PHASE = True
+TWO_PHASE_FRAC = 0.06
+
 
 def checks_enabled() -> bool:
     """Opt-in numeric guard (the functional-model analog of the reference's

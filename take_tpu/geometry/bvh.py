@@ -94,16 +94,81 @@ def _morton3(x, y, z):
     return (spread(x) << 2) | (spread(y) << 1) | spread(z)
 
 
-def _build_binary(order, centers, bmin, bmax, lo, hi):
-    """Top-down median split in Morton order; returns a _BuildNode."""
-    node_min = bmin[order[lo:hi]].min(axis=0)
-    node_max = bmax[order[lo:hi]].max(axis=0)
+_SAH_BINS = 16
+
+
+def _build_binary(order, centers, bmin, bmax, lo, hi, depth=0):
+    """Top-down binned-SAH split; returns a _BuildNode.
+
+    Quality matters directly on TPU: the packet kernel sweeps every leaf
+    ANY ray in a block touches, so false-positive leaf visits multiply by
+    the block width. Binned SAH (16 bins, all 3 axes) cuts visited leaves
+    ~2-3x vs the earlier Morton median split. Partitioning reorders
+    `order` in place, so the final primitive order is DFS leaf order —
+    spatially coherent, which is what the supercluster tables want too.
+    """
+    idx = order[lo:hi]
+    node_min = bmin[idx].min(axis=0)
+    node_max = bmax[idx].max(axis=0)
     n = hi - lo
     if n <= LEAF_SIZE:
         return _BuildNode(lo, hi, node_min, node_max, [])
-    mid = lo + n // 2
-    left = _build_binary(order, centers, bmin, bmax, lo, mid)
-    right = _build_binary(order, centers, bmin, bmax, mid, hi)
+
+    c = centers[idx]
+    c_lo = c.min(axis=0)
+    c_ext = c.max(axis=0) - c_lo
+    best = None  # (cost, going_left mask)
+    # depth cap: SAH can chain unbalanced splits; beyond it median splits
+    # guarantee O(log n) remaining depth (keeps traversal stacks bounded)
+    axes = range(3) if depth < 48 else ()
+    for axis in axes:
+        if c_ext[axis] <= 1e-12:
+            continue
+        bins = np.minimum(
+            (((c[:, axis] - c_lo[axis]) / c_ext[axis]) * _SAH_BINS).astype(
+                np.int64
+            ),
+            _SAH_BINS - 1,
+        )
+        counts = np.bincount(bins, minlength=_SAH_BINS)
+        # per-bin bounds via scatter-min/max
+        bb_lo = np.full((_SAH_BINS, 3), np.inf)
+        bb_hi = np.full((_SAH_BINS, 3), -np.inf)
+        np.minimum.at(bb_lo, bins, bmin[idx])
+        np.maximum.at(bb_hi, bins, bmax[idx])
+
+        def areas(lo_c, hi_c):
+            e = np.maximum(hi_c - lo_c, 0.0)
+            return e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0]
+
+        # prefix (left of boundary b = bins 0..b) and suffix accumulations
+        pre_lo = np.minimum.accumulate(bb_lo, axis=0)
+        pre_hi = np.maximum.accumulate(bb_hi, axis=0)
+        suf_lo = np.minimum.accumulate(bb_lo[::-1], axis=0)[::-1]
+        suf_hi = np.maximum.accumulate(bb_hi[::-1], axis=0)[::-1]
+        nl = np.cumsum(counts)[:-1]
+        nr = n - nl
+        cost = areas(pre_lo[:-1], pre_hi[:-1]) * nl + areas(
+            suf_lo[1:], suf_hi[1:]
+        ) * nr
+        cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+        b = int(np.argmin(cost))
+        if np.isfinite(cost[b]) and (best is None or cost[b] < best[0]):
+            best = (cost[b], bins <= b)
+
+    if best is None:
+        going_left = np.zeros(n, bool)
+        going_left[: n // 2] = True  # degenerate: median fallback
+    else:
+        going_left = best[1]
+        if not going_left.any() or going_left.all():
+            going_left = np.zeros(n, bool)
+            going_left[: n // 2] = True
+    # stable partition in place
+    order[lo:hi] = np.concatenate([idx[going_left], idx[~going_left]])
+    mid = lo + int(going_left.sum())
+    left = _build_binary(order, centers, bmin, bmax, lo, mid, depth + 1)
+    right = _build_binary(order, centers, bmin, bmax, mid, hi, depth + 1)
     return _BuildNode(lo, hi, node_min, node_max, [left, right])
 
 

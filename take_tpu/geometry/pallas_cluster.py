@@ -50,6 +50,13 @@ lowest primitive index (groups ascend, superclusters within a group
 ascend, per-sweep argmin takes the first row, cross-sweep merges use
 strict `<`), so results are independent of block grouping and device
 count.
+
+Practical scene-size ceiling: triangle granules live in HBM (16 GB on v5e
+-> ~400M triangles at 40 B/tri), and the only VMEM-resident per-scene
+state is the supercluster AABB table at 512 B/row (one row per 512
+triangles) — ~100M triangles inside a 100 MB VMEM budget. The group loop
+is linear in supercluster count, so beyond ~10M triangles a third
+hierarchy level over the sup table would be the next step.
 """
 
 import functools

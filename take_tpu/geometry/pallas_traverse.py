@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from take_tpu.geometry.bvh import LEAF_SIZE, WIDTH
 
 BLOCK = 256  # rays per packet
-STACK = 64
+STACK = 160  # worst-case pushes ~ (WIDTH-1) x wide-depth; SAH trees run deeper than median splits
 WINDOW = LEAF_SIZE + 8  # aligned leaf window (see module docstring)
 
 _BIG = 3.4e38
@@ -205,31 +205,60 @@ def _kernel(
             & (thi >= tmin)
             & (tlo <= jnp.minimum(t_best, tmax))
         )  # [W, B]
-        # int32: Mosaic can only extract 32-bit scalars, not bools
-        any_hit_v = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+        # per-child ordering key: the nearest entry distance over the
+        # block's hitting lanes (+BIG where no lane hits)
+        dmin = jnp.min(jnp.where(hit, tlo, _BIG), axis=1, keepdims=True)
+
+        # NEAR-FIRST ordered traversal: sort the <=8 hit children by dmin
+        # with a scalar sorting network (19 comparators, Batcher), then
+        # sweep leaves nearest-first (t_best tightens as early as possible)
+        # and push internal children farthest-first (stack pops nearest
+        # first). Cuts visited leaves substantially on closest-hit; ties in
+        # dmin keep slot order, so traversal stays deterministic for a
+        # given block (exact-t ties across blocks may resolve differently
+        # than slot order — measure-zero on real geometry).
+        ds = [dmin[w, 0] for w in range(WIDTH)]
+        cs = [child_f[w, 0].astype(jnp.int32) for w in range(WIDTH)]
+        ns = [count_f[w, 0].astype(jnp.int32) for w in range(WIDTH)]
+        pairs = [
+            (0, 1), (2, 3), (4, 5), (6, 7),
+            (0, 2), (1, 3), (4, 6), (5, 7),
+            (1, 2), (5, 6), (0, 4), (1, 5),
+            (2, 6), (3, 7), (2, 4), (3, 5),
+            (1, 2), (3, 4), (5, 6),
+        ]
+        for i, j in pairs:
+            sw = ds[i] > ds[j]
+            ds[i], ds[j] = (
+                jnp.where(sw, ds[j], ds[i]),
+                jnp.where(sw, ds[i], ds[j]),
+            )
+            cs[i], cs[j] = (
+                jnp.where(sw, cs[j], cs[i]),
+                jnp.where(sw, cs[i], cs[j]),
+            )
+            ns[i], ns[j] = (
+                jnp.where(sw, ns[j], ns[i]),
+                jnp.where(sw, ns[i], ns[j]),
+            )
 
         best = (t_best, u_best, v_best, p_best)
-        # Python-unrolled over the WIDTH child slots: all indices static
-        for w in range(WIDTH):
-            c = child_f[w, 0].astype(jnp.int32)
-            cnt = count_f[w, 0].astype(jnp.int32)
-            do = any_hit_v[w, 0] > 0
-            push_w = do & (c >= 0)
-            leaf_w = do & (c < 0) & (cnt > 0)
-
+        for w in range(WIDTH):  # leaves, nearest first
+            leaf_w = (ds[w] < _BIG) & (cs[w] < 0) & (ns[w] > 0)
+            best = jax.lax.cond(
+                leaf_w,
+                lambda b, c=cs[w], cnt=ns[w]: leaf_sweep(-(c + 1), cnt, b),
+                lambda b: b,
+                best,
+            )
+        for w in reversed(range(WIDTH)):  # pushes, farthest first
+            push_w = (ds[w] < _BIG) & (cs[w] >= 0)
             # masked scalar push: the slot above the top is free space, so
             # an un-pushed write just rewrites garbage with garbage
             slot = jnp.minimum(sp, STACK - 1)
             cur = stack_ref[slot]
-            stack_ref[slot] = jnp.where(push_w, c, cur)
+            stack_ref[slot] = jnp.where(push_w, cs[w], cur)
             sp = sp + push_w.astype(jnp.int32)
-
-            best = jax.lax.cond(
-                leaf_w,
-                lambda b, c=c, cnt=cnt: leaf_sweep(-(c + 1), cnt, b),
-                lambda b: b,
-                best,
-            )
         return (sp,) + best
 
     state = (
@@ -249,9 +278,11 @@ def _kernel(
     prim_out[0, :, :] = jnp.where(ok, p_best, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "any_hit"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "any_hit", "block")
+)
 def packet_traverse(nodes, tris, ro, rd, tmin, tmax, interpret: bool = False,
-                    any_hit: bool = False):
+                    any_hit: bool = False, block: int = BLOCK):
     """Traverse rays [N, 3] against the VMEM-resident wide BVH.
 
     Args are the prep_tables views + flat ray SoA. Returns (t [N], u [N],
@@ -262,21 +293,21 @@ def packet_traverse(nodes, tris, ro, rd, tmin, tmax, interpret: bool = False,
     scene.cpp:49-63 ⚠).
     """
     N = ro.shape[0]
-    n_blocks = N // BLOCK
+    n_blocks = N // block
 
-    ro_t = ro.T.reshape(3, n_blocks, BLOCK).transpose(1, 0, 2)  # [nb, 3, B]
-    rd_t = rd.T.reshape(3, n_blocks, BLOCK).transpose(1, 0, 2)
-    tmin_t = tmin.reshape(n_blocks, 1, BLOCK)
-    tmax_t = tmax.reshape(n_blocks, 1, BLOCK)
+    ro_t = ro.T.reshape(3, n_blocks, block).transpose(1, 0, 2)  # [nb, 3, B]
+    rd_t = rd.T.reshape(3, n_blocks, block).transpose(1, 0, 2)
+    tmin_t = tmin.reshape(n_blocks, 1, block)
+    tmax_t = tmax.reshape(n_blocks, 1, block)
 
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     per_block = lambda: pl.BlockSpec(
-        (1, ro_t.shape[1], BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, ro_t.shape[1], block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     per_block1 = lambda: pl.BlockSpec(
-        (1, 1, BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
     t, u, v, prim = pl.pallas_call(
@@ -288,10 +319,10 @@ def packet_traverse(nodes, tris, ro, rd, tmin, tmax, interpret: bool = False,
         ],
         out_specs=[per_block1(), per_block1(), per_block1(), per_block1()],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, 1, BLOCK), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 1, BLOCK), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 1, BLOCK), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 1, BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 1, block), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, block), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, block), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, block), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         # resident tables are gated at 88MB physical (traverse.py); the

@@ -18,7 +18,7 @@ from take_tpu import config
 from take_tpu.geometry.bvh import LEAF_SIZE, WIDTH
 from take_tpu.scene.types import ATTR_EMIT, Hit, Scene
 
-STACK = 48
+STACK = 64
 
 # plain float, NOT jnp.float32(...): a module-level jax scalar initializes
 # the XLA backend at import, which breaks jax.distributed.initialize in
@@ -288,6 +288,36 @@ def _cluster_query(scene: Scene, ro, rd, tmin, tmax, any_hit: bool):
     return t, u, v, prim, prim >= 0
 
 
+def _two_phase_closest(closest, d0, ro, rd, tmin, tmax):
+    """Two-phase closest hit (estimator-exact traversal optimization).
+
+    Phase 1 runs `closest` with every ray capped at range d0: with origins
+    binned, each block's node union is a tight neighborhood instead of the
+    whole tree. A lane is RESOLVED if it found a hit (necessarily the
+    global closest — everything nearer than d0 was tested) or its own tmax
+    was fully covered by the short range. Phase 2 compacts unresolved
+    lanes to the front (stable sort keeps the binning order within each
+    class) and re-traces them at full range; resolved lanes ride along
+    dead (tmax = -BIG), so their blocks exit at the root test.
+    """
+    N = ro.shape[0]
+    t, u, v, prim = closest(ro, rd, tmin, jnp.minimum(tmax, d0))
+    resolved = (prim >= 0) | (tmax <= d0)
+    perm2 = jnp.argsort(resolved.astype(jnp.int32), stable=True)
+    inv2 = jnp.zeros_like(perm2).at[perm2].set(
+        jnp.arange(N, dtype=perm2.dtype)
+    )
+    tmax2 = jnp.where(resolved, -_BIG, tmax)[perm2]
+    t2, u2, v2, p2 = closest(ro[perm2], rd[perm2], tmin[perm2], tmax2)
+    t2, u2, v2, p2 = t2[inv2], u2[inv2], v2[inv2], p2[inv2]
+    return (
+        jnp.where(resolved, t, t2),
+        jnp.where(resolved, u, u2),
+        jnp.where(resolved, v, v2),
+        jnp.where(resolved, prim, p2),
+    )
+
+
 def _use_cluster(scene: Scene) -> bool:
     """The packet kernel wins whenever its tables fit the VMEM budget
     (judge-measured 754 Mrays/s on room primaries); the streaming cluster
@@ -323,25 +353,42 @@ def _traverse_backend(scene: Scene, ro, rd, tmin, tmax):
         ro, rd = ro[perm], rd[perm]
         tmin, tmax = tmin[perm], tmax[perm]
 
-    if use_cluster:
-        t, u, v, prim, found = _cluster_query(
-            scene, ro, rd, tmin, tmax, any_hit=False
-        )
-    else:
+    def closest(ro_q, rd_q, tmin_q, tmax_q):
+        if use_cluster:
+            t, u, v, prim, _ = _cluster_query(
+                scene, ro_q, rd_q, tmin_q, tmax_q, any_hit=False
+            )
+            return t, u, v, prim
         from take_tpu.geometry.intersect import _pad_rays
         from take_tpu.geometry.pallas_traverse import (
-            BLOCK,
             packet_traverse,
             prep_tables,
         )
 
-        Np, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, BLOCK)
+        blk = config.PACKET_BLOCK
+        Np, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(
+            ro_q, rd_q, tmin_q, tmax_q, blk
+        )
         nodes, tris = prep_tables(scene)
         t, u, v, prim = packet_traverse(
-            nodes, tris, ro_p, rd_p, tmin_p, tmax_p
+            nodes, tris, ro_p, rd_p, tmin_p, tmax_p, block=blk
         )
-        t, u, v, prim = t[:N], u[:N], v[:N], prim[:N]
-        found = prim >= 0
+        return t[:N], u[:N], v[:N], prim[:N]
+
+    # two-phase only pays when the tree is big enough that full-range
+    # unions dwarf the extra phase (measured: textured 35.6->52.1s WITH it
+    # at 8k tris; room-class scenes are the target)
+    if config.TWO_PHASE and do_sort and scene.meta.n_tri >= 65536:
+        bvh = scene.bvh
+        bmin = jnp.min(bvh.node_min[0], axis=0)
+        bmax = jnp.max(bvh.node_max[0], axis=0)
+        d0 = config.TWO_PHASE_FRAC * jnp.linalg.norm(bmax - bmin)
+        t, u, v, prim = _two_phase_closest(
+            closest, d0, ro, rd, tmin, tmax
+        )
+    else:
+        t, u, v, prim = closest(ro, rd, tmin, tmax)
+    found = prim >= 0
 
     if do_sort:
         t, u, v = t[inv], u[inv], v[inv]
@@ -393,7 +440,6 @@ def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
         # scene.cpp:49-63 ⚠)
         from take_tpu.geometry.intersect import _pad_rays
         from take_tpu.geometry.pallas_traverse import (
-            BLOCK,
             packet_traverse,
             prep_tables,
         )
@@ -406,10 +452,11 @@ def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
             perm, inv = _coherence_perm(scene, ro, rd)
             ro, rd = ro[perm], rd[perm]
             tmin, tmax = tmin[perm], tmax[perm]
-        Np, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, BLOCK)
+        blk = config.PACKET_BLOCK
+        Np, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, blk)
         nodes, tris = prep_tables(scene)
         *_, prim = packet_traverse(
-            nodes, tris, ro_p, rd_p, tmin_p, tmax_p, any_hit=True
+            nodes, tris, ro_p, rd_p, tmin_p, tmax_p, any_hit=True, block=blk
         )
         found = prim[:N] >= 0
         if do_sort:

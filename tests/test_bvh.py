@@ -93,3 +93,43 @@ def test_render_with_bvh_matches_brute_force():
     # on shared edges may differ for a few samples)
     diff = np.abs(a - b).mean()
     assert diff < 2e-2, diff
+
+
+def test_two_phase_closest_exact(rng_np):
+    """Two-phase traversal (short-range resolve + compacted full-range
+    remainder) must be bit-identical to a single full-range query."""
+    import jax.numpy as jnp
+    from take_tpu.geometry.intersect import _tri_uvt
+    from take_tpu.geometry.traverse import _two_phase_closest
+
+    scene = random_soup_scene(400, build_bvh=True)
+    N = 4096
+    ro = jnp.asarray(rng_np.uniform(-15, 15, (N, 3)), jnp.float32)
+    d = rng_np.normal(size=(N, 3))
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    tmin = jnp.full(N, 1e-4)
+    # mixed tmax: infinite, finite, and dead lanes
+    tmax = jnp.asarray(rng_np.uniform(2.0, 40.0, N), jnp.float32)
+    tmax = jnp.where(jnp.asarray(rng_np.uniform(size=N) < 0.3), jnp.inf, tmax)
+    tmax = jnp.where(jnp.asarray(rng_np.uniform(size=N) < 0.1), -3.4e38, tmax)
+
+    def closest(ro_q, rd_q, tmin_q, tmax_q):
+        t, u, v, ok = _tri_uvt(
+            scene.geometry, ro_q, rd_q, tmin_q, tmax_q, scene.meta.n_tri
+        )
+        tm = jnp.where(ok, t, 3.4e38)
+        k = jnp.argmin(tm, axis=1)
+        tb = jnp.min(tm, axis=1)
+        found = tb < 3.4e38
+        sel = lambda a: jnp.take_along_axis(a, k[:, None], axis=1)[:, 0]
+        return (
+            jnp.where(found, tb, 3.4e38),
+            sel(u), sel(v),
+            jnp.where(found, k, -1),
+        )
+
+    ref = closest(ro, rd, tmin, tmax)
+    for d0 in [1e-3, 5.0, 1e9]:
+        out = _two_phase_closest(closest, jnp.float32(d0), ro, rd, tmin, tmax)
+        for a, b in zip(out, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
