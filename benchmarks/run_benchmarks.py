@@ -139,8 +139,15 @@ def main():
             W, H = cam.width, cam.height
         options = RenderOptions(spp=spp, max_depth=depth, seed=0)
 
-        # warm-up / compile with 1 spp
-        render_image(scene, dataclasses.replace(options, spp=1))
+        # warm-up with exactly ONE pass of the production shape: the pass
+        # executable is keyed on n_samples-per-pass (k), so a 1-spp warmup
+        # would leave the k>1 executable cold and bill its compile to the
+        # timed run (this cost cbox 8s of phantom time in results_r3)
+        max_pass = options.max_rays_per_pass
+        if scene.bvh is not None:
+            max_pass = min(max_pass, 1 << 18)
+        k = max(1, min(options.spp, max_pass // max(W * H, 1)))
+        render_image(scene, dataclasses.replace(options, spp=k))
         t0 = time.time()
         img = render_image(scene, options)
         dt = time.time() - t0
