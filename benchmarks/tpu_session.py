@@ -141,6 +141,46 @@ def main():
             print("[room_stages] FAIL", type(e).__name__, str(e)[:300],
                   flush=True)
 
+    if _step("room_keys"):
+        try:
+            from take_tpu import config as _config
+            from take_tpu.geometry.pallas_traverse import (
+                packet_traverse, prep_tables,
+            )
+            import take_tpu.geometry.traverse as TR
+
+            scene = parse_scene_file(os.path.join(ROOT, "scenes/room/room.xml"))
+            N = 1 << 18
+            rng = np.random.default_rng(3)
+            lo = np.asarray(jnp.nanmin(scene.bvh.sup_aabb[:, 0:3], axis=0))
+            hi = np.asarray(jnp.nanmax(scene.bvh.sup_aabb[:, 3:6], axis=0))
+            ro = jnp.asarray(rng.uniform(lo, hi, (N, 3)).astype(np.float32))
+            d = rng.normal(size=(N, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            rd = jnp.asarray(d)
+            tmin = jnp.full(N, 1e-3)
+            tmax = jnp.full(N, jnp.inf)
+            nodes, tris = prep_tables(scene)
+
+            for db in [0, 1, 2]:
+                _config.SORT_DIR_BITS = db
+
+                def raw(ro_q, rd_q, tmin_q, tmax_q):
+                    perm, inv = TR._coherence_perm(scene, ro_q, rd_q)
+                    t, *_ = packet_traverse(
+                        nodes, tris, ro_q[perm], rd_q[perm],
+                        tmin_q[perm], tmax_q[perm],
+                    )
+                    return t[inv]
+
+                dt, _ = timed(jax.jit(raw), ro, rd, tmin, tmax)
+                print(f"[keys] dir_bits={db}: incoherent "
+                      f"{N/dt/1e6:.1f} Mrays/s", flush=True)
+            _config.SORT_DIR_BITS = 0
+        except Exception as e:
+            print("[room_keys] FAIL", type(e).__name__, str(e)[:300],
+                  flush=True)
+
     if _step("room_leaf32"):
         try:
             # experiment: LEAF_SIZE=32 (fewer, fatter leaves) — monkeypatch

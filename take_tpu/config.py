@@ -51,6 +51,11 @@ RAY_SORT = True
 # cost of more scalar stack work per ray.
 PACKET_BLOCK = 256
 
+# Extra per-axis direction Morton bits in the binning key (between the
+# octant and the origin Morton; geometry/traverse.py::_coherence_perm).
+# 0 = octant only.
+SORT_DIR_BITS = 0
+
 # Two-phase closest-hit for BVH scenes (geometry/traverse.py): phase 1 caps
 # every ray at TWO_PHASE_FRAC * scene diagonal (tight per-block node unions
 # around the binned origins), then lanes it could not resolve are compacted

@@ -193,15 +193,6 @@ def _traverse(scene: Scene, ro, rd, tmin, tmax, any_hit: bool):
     return best_t, best_u, best_v, best_prim, found
 
 
-# Above this size the cull+sweep pipeline takes priority over the packet
-# kernel: the packet's any-ray-hit push rule makes every block traverse
-# nearly the whole tree on direction-incoherent bounce waves (measured on
-# room: 0.5 Mrays/s vs 900+ for coherent primaries), while cull+sweep work
-# is bounded per 128-ray block at cluster granularity. Small scenes keep the
-# packet kernel: their tree IS small, and resident tables beat re-DMAing
-# the triangle table once per block.
-_CLUSTER_MIN_TRIS = 16384
-
 # --------------------------------------------------------------------------
 # Ray binning (SURVEY §7.3 #1): both Pallas paths live or die by BLOCK
 # coherence — the packet kernel pushes a node if ANY lane hits it, and the
@@ -232,20 +223,37 @@ def _morton8(q):
 
 
 def _coherence_perm(scene: Scene, ro, rd):
-    """(perm, inv): ascending (octant, origin-Morton) ray order and its
+    """(perm, inv): ascending (direction, origin-Morton) ray order and its
     inverse. Scene bounds come from the BVH root's child boxes (padding
-    slots hold +/-3e38 and drop out of the min/max)."""
+    slots hold +/-3e38 and drop out of the min/max).
+
+    Key layout, most-significant first: direction octant (3 bits), then
+    config.SORT_DIR_BITS extra Morton bits per direction axis (finer
+    direction cones), then origin Morton filling the remainder of 27 bits.
+    """
     bvh = scene.bvh
     bmin = jnp.min(bvh.node_min[0], axis=0)
     bmax = jnp.max(bvh.node_max[0], axis=0)
     ext = jnp.maximum(bmax - bmin, 1e-12)
-    q = jnp.clip((ro - bmin) / ext * 256.0, 0.0, 255.0).astype(jnp.int32)
+    db = int(getattr(config, "SORT_DIR_BITS", 0))
+    ob = min(8, (27 - 3 - 3 * db) // 3)
+    oq = jnp.clip(
+        (ro - bmin) / ext * float(1 << ob), 0.0, float((1 << ob) - 1)
+    ).astype(jnp.int32)
+    # morton over ob-bit coords: reuse the 8-bit spreader (valid for <= 8)
+    omorton = _morton8(oq)
     octant = (
         ((rd[:, 0] < 0).astype(jnp.int32) << 2)
         | ((rd[:, 1] < 0).astype(jnp.int32) << 1)
         | (rd[:, 2] < 0).astype(jnp.int32)
     )
-    key = (octant << 24) | _morton8(q)
+    key = octant
+    if db > 0:
+        dq = jnp.clip(
+            (jnp.abs(rd) * float(1 << db)), 0.0, float((1 << db) - 1)
+        ).astype(jnp.int32)
+        key = (key << (3 * db)) | _morton8(dq)
+    key = (key << (3 * ob)) | omorton
     perm = jnp.argsort(key)
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype)
