@@ -53,8 +53,15 @@ def parity_stats(ours, ref):
 
 
 def reference_render(name, scene_path, max_depth):
-    """Render via the C++ reference binary, cached under /tmp."""
-    cache = f"/tmp/take_golden_{name}.exr"
+    """Render via the C++ reference binary, cached under /tmp.
+
+    The cache key includes max_depth (ADVICE r3: a name-only key silently
+    reused goldens rendered at different settings); resolution comes from
+    the scene XML, which the binary cannot override, so the scene name
+    pins it. The `_d{depth}` format matches tests/test_golden_scenes.py so
+    the two harnesses share goldens only when settings agree.
+    """
+    cache = f"/tmp/take_golden_{name}_d{max_depth}.exr"
     if not os.path.exists(cache):
         if not os.path.exists(REF_BIN):
             return None

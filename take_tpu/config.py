@@ -64,6 +64,18 @@ SORT_DIR_BITS = 0
 TWO_PHASE = True
 TWO_PHASE_FRAC = 0.06
 
+# Lane capacity of the wavefront-refill driver (integrator/wavefront.py):
+# dead lanes adopt unstarted paths, so a pass of P paths runs ~P*E[depth]/Q
+# near-full iterations instead of max_depth full-width trips. Smaller waves
+# raise the live fraction but add fixed per-iteration cost.
+WAVE_SIZE = 1 << 16
+
+# Cluster-sweep traversal kernel (geometry/pallas_sweep.py): tree-free
+# cull+sweep over the 64-triangle Morton cluster table, VMEM-resident.
+# The preferred backend for BVH scenes that fit VMEM (see traverse.py
+# backend selection); trace-time switch like PALLAS_BRUTE.
+PALLAS_SWEEP = True
+
 
 def checks_enabled() -> bool:
     """Opt-in numeric guard (the functional-model analog of the reference's

@@ -361,6 +361,12 @@ def cluster_traverse(
     rays = _ray_blocks(ro, rd, tmin, tmax)
     nb = rays.shape[0]
     SupP = sup_aabb.shape[0]
+    # whole-table guarantee: a granule DMA must be in bounds for every sup
+    # id in the AABB table, even NaN-padded ones (build.py pads tri_sweep
+    # to the same GROUP multiple; this catches any drift)
+    assert tri_sweep.shape[0] >= SupP * OPS, (
+        f"tri_sweep covers {tri_sweep.shape[0] // OPS} sups < {SupP}"
+    )
 
     if any_hit:
         kernel = _occluded_kernel

@@ -146,23 +146,28 @@ def _kernel(
         ok = (
             (~parallel)
             & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t >= tmin) & (t < t_best) & (t <= tmax)
+            & (t >= tmin) & (t <= t_best) & (t <= tmax)
             & (rel >= 0) & (rel < cnt)
         )
         t_m = jnp.where(ok, t, _BIG)
-        best_l = jnp.argmin(t_m, axis=0)  # [B]
+        best_l = jnp.argmin(t_m, axis=0)  # [B]; first row wins ties ->
+        # lowest prim index within the window
         t_new = jnp.min(t_m, axis=0)[None, :]  # [1, B]
         onehot = (lane == best_l[None, :]).astype(jnp.float32)
         u_new = jnp.sum(u * onehot, axis=0)[None, :]
         v_new = jnp.sum(v * onehot, axis=0)[None, :]
-        better = t_new < t_best
+        p_new = (w0 + best_l[None, :]).astype(jnp.int32)
+        # exact-t ties break toward the LOWER primitive index so results are
+        # independent of leaf sweep order (near-first ordering makes sweep
+        # order depend on block composition; ADVICE r3)
+        better = (t_new < t_best) | (
+            (t_new == t_best) & (t_new < _BIG) & (p_new < p_best)
+        )
         return (
             jnp.where(better, t_new, t_best),
             jnp.where(better, u_new, u_best),
             jnp.where(better, v_new, v_best),
-            jnp.where(
-                better, (w0 + best_l[None, :]).astype(jnp.int32), p_best
-            ),
+            jnp.where(better, p_new, p_best),
         )
 
     if any_hit:

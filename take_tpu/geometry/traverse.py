@@ -171,7 +171,11 @@ def _traverse(scene: Scene, ro, rd, tmin, tmax, any_hit: bool):
             t, u, v, prim, ok = _leaf_test(
                 g, start, cnt, ro, rd, tmin, best_t
             )
-            better = ok & (t < best_t)
+            # ties toward lower prim index: leaf visit order is pop order,
+            # so without this exact-t ties would depend on traversal order
+            better = ok & (
+                (t < best_t) | ((t == best_t) & found & (prim < best_prim))
+            )
             best_u = jnp.where(better, u, best_u)
             best_v = jnp.where(better, v, best_v)
             best_prim = jnp.where(better, prim, best_prim)
@@ -201,9 +205,11 @@ def _traverse(scene: Scene, ro, rd, tmin, tmax, any_hit: bool):
 # rays by (direction octant, origin Morton) and scatter results back.
 # Primary rays share an origin, so the stable sort degenerates to grouping
 # by octant while preserving scanline order — near-zero perturbation there.
-# Per-ray results are independent of block composition (deterministic
-# DFS/ascending-order tie-breaks in both kernels), so binning never changes
-# the image.
+# Per-ray results are independent of block composition: exact-t ties break
+# toward the lower primitive index in every backend (packet leaf_sweep,
+# cluster _sweep_sup, jnp leaf_w), so near-first sweep order — which DOES
+# depend on block composition — cannot change the winner, and binning never
+# changes the image.
 _SORT_MIN_RAYS = 4096
 
 
@@ -428,11 +434,16 @@ def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
     from take_tpu.geometry.intersect import _sph_t
 
     sg = jax.lax.stop_gradient
+    scene, ro, rd = sg(scene), sg(ro), sg(rd)
+    tmin, tmax = sg(tmin), sg(tmax)
+    # original-order rays for the analytic-sphere merge below: the kernel
+    # branches permute ro/rd in place but return `found` un-permuted, so the
+    # sphere test MUST run on these (ADVICE r3 high: the permuted-ray sphere
+    # test assigned occlusion to the wrong lanes on TPU)
+    ro0, rd0, tmin0, tmax0 = ro, rd, tmin, tmax
     if _use_cluster(scene):
         # TRUE any-hit kernel (early-exit per block; fixes the reference's
         # closest-hit scene_occluded, scene.cpp:49-63 ⚠)
-        scene, ro, rd = sg(scene), sg(ro), sg(rd)
-        tmin, tmax = sg(tmin), sg(tmax)
         N = ro.shape[0]
         do_sort = config.RAY_SORT and N >= _SORT_MIN_RAYS
         if do_sort:
@@ -452,8 +463,6 @@ def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
             prep_tables,
         )
 
-        scene, ro, rd = sg(scene), sg(ro), sg(rd)
-        tmin, tmax = sg(tmin), sg(tmax)
         N = ro.shape[0]
         do_sort = config.RAY_SORT and N >= _SORT_MIN_RAYS
         if do_sort:
@@ -470,12 +479,10 @@ def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
         if do_sort:
             found = found[inv]
     else:
-        *_, found = _traverse(
-            sg(scene), sg(ro), sg(rd), sg(tmin), sg(tmax), any_hit=True
-        )
+        *_, found = _traverse(scene, ro, rd, tmin, tmax, any_hit=True)
     if scene.meta.n_sph > 0:
         _, valid_s = _sph_t(
-            scene.geometry, ro, rd, tmin, tmax, scene.meta.n_sph
+            scene.geometry, ro0, rd0, tmin0, tmax0, scene.meta.n_sph
         )
         found = found | jnp.any(valid_s, axis=1)
     return found

@@ -92,31 +92,21 @@ def _camera_vertex(scene: Scene, ro, rd):
     return radiance, (ro, rd, hit, hit.valid)
 
 
-def _bounce_step(scene: Scene, streams, i, state):
-    """One wavefront bounce (the body of path_tracing.h:20-109).
+def _vertex_nee(scene: Scene, streams, i, hit, sp, spec, active, ro, rd):
+    """NEE at the current vertex -> C1 [N, 3] (path_tracing.h:30-60).
 
-    Args:
-        state: (ro, rd, hit, active) — current vertex per lane.
-        i: bounce index (traced scalar ok) — keys the RNG counters.
-    Returns:
-        (new_state, c, w): radiance increment `c` [N, 3] and throughput
-        factor `w` [N, 3] for this bounce, both EXCLUDING the running
-        throughput — the driver accumulates R += T*c; T *= w. Dead lanes
-        produce c == 0 and w == 1, so drivers need no extra masking and the
-        replay backward's suffix quotient (L - A)/w is exact there.
-    """
-    ro, rd, hit, active = state
+    Shared by the scan/replay drivers (via _bounce_step) and the
+    wavefront-refill driver (integrator/wavefront.py) so the two compute
+    bitwise-identical estimates. `i` may be a scalar OR a per-lane array
+    (the wavefront driver carries per-lane bounce indices; the counter-
+    based RNG is keyed logically so this is exact)."""
     n_lights = scene.meta.n_lights
     # env map participates in NEE as one extra light-selection slot
     n_slots = n_lights + (1 if scene.meta.has_envmap else 0)
     eps = jnp.asarray(config.C_EPSILON, ro.dtype)
     N = ro.shape[0]
-    tmin0 = jnp.full(N, eps)
-    tmax0 = jnp.full(N, jnp.inf)
 
     dir_in = -rd
-    sp = make_shade_point(scene, hit)
-    spec = is_specular(sp)
 
     # ---------------- NEE branch (path_tracing.h:30-60) ----------------
     # The env map joins the light list as one extra uniform-selection
@@ -192,9 +182,15 @@ def _bounce_step(scene: Scene, streams, i, state):
             ok_env = is_env & (bp > 0.0) & (env_pdf > 0.0) & (~shadow_occ)
             C1 = C1 + FG * Li_env * jnp.where(ok_env, w_env, 0.0)[:, None]
         C1 = jnp.where((spec | ~active)[:, None], 0.0, C1)
-    c = C1
+    return C1
 
-    # ---------------- BSDF branch (path_tracing.h:62-101) --------------
+
+def _vertex_sample(scene: Scene, streams, i, hit, sp, rd):
+    """BSDF sampling at the current vertex (path_tracing.h:62-78).
+
+    Returns (new_ro, dir_out, FG, bpdf, sample_ok). Like _vertex_nee, `i`
+    may be a scalar or per-lane array."""
+    dir_in = -rd
     u_lobe = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LOBE_SELECT))
     ub1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U1))
     ub2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U2))
@@ -203,14 +199,19 @@ def _bounce_step(scene: Scene, streams, i, state):
     FG = bsdf_eval(scene, sp, dir_in, dir_out, sample_pdf=bpdf)
     dir_out = normalize(dir_out, eps=1e-30)
     sample_ok = bpdf > 0.0
-
     new_ro = offset_origin(hit.pos, hit.geo_n, dir_out)
-    # dead lanes trace instantly-culled rays (tmax = -BIG): on BVH scenes a
-    # mostly-terminated wave stops paying full traversal per bounce
-    new_hit = intersect_scene(
-        scene, new_ro, dir_out, tmin0,
-        jnp.where(active & sample_ok, tmax0, -3.4e38),
-    )
+    return new_ro, dir_out, FG, bpdf, sample_ok
+
+
+def _arrival_contribs(scene: Scene, prev_pos, dir_out, FG, bpdf, spec,
+                      sample_ok, active, new_hit):
+    """Contributions discovered by tracing the sampled ray
+    (path_tracing.h:82-100): returns (miss_term, C2_term, contrib), each
+    already lane-masked, unscaled by the running throughput. Shared by
+    _bounce_step and the wavefront driver (which reaches this point one
+    iteration after sampling, with (FG, bpdf, spec) carried per lane)."""
+    n_lights = scene.meta.n_lights
+    n_slots = n_lights + (1 if scene.meta.has_envmap else 0)
 
     contrib = safe_div(FG, bpdf[:, None], 0.0)  # FG / bsdf_pdf
 
@@ -230,18 +231,18 @@ def _bounce_step(scene: Scene, streams, i, state):
         miss_radiance = FG * _background(scene, dir_out) * w_env_bs[:, None]
     else:
         miss_radiance = contrib * _background(scene, dir_out)
-    c = c + jnp.where((active & miss)[:, None], miss_radiance, 0.0)
+    miss_term = jnp.where((active & miss)[:, None], miss_radiance, 0.0)
 
     # emitter hit -> C2 with power-heuristic weight (path_tracing.h:88-100)
     # — intensity and area pdf come from the Hit record, no gathers
-    C2 = jnp.zeros_like(ro)
+    C2 = jnp.zeros_like(prev_pos)
     if n_lights > 0 and scene.meta.has_area_lights:
         hit_em = new_hit.valid & (new_hit.light_id >= 0)
-        d2 = jnp.linalg.norm(new_hit.pos - hit.pos, axis=-1)
+        d2 = jnp.linalg.norm(new_hit.pos - prev_pos, axis=-1)
         # light_dir == dir_out (the reference recomputes it; identical)
         cos_l = jnp.maximum(dot(-new_hit.geo_n, dir_out), 0.0)
         apdf = area_pdf_from_hit_geom(
-            new_hit.light_geom, new_hit.pos, hit.pos
+            new_hit.light_geom, new_hit.pos, prev_pos
         )
         lp = safe_div(apdf * d2 * d2, cos_l * n_slots, 0.0)
         w = jnp.where(
@@ -252,7 +253,53 @@ def _bounce_step(scene: Scene, streams, i, state):
         C2 = FG * new_hit.emit * jnp.where(
             hit_em & sample_ok, w, 0.0
         )[:, None]
-    c = c + jnp.where(active[:, None], C2, 0.0)
+    C2_term = jnp.where(active[:, None], C2, 0.0)
+    return miss_term, C2_term, contrib
+
+
+def _bounce_step(scene: Scene, streams, i, state):
+    """One wavefront bounce (the body of path_tracing.h:20-109).
+
+    Args:
+        state: (ro, rd, hit, active) — current vertex per lane.
+        i: bounce index (traced scalar ok) — keys the RNG counters.
+    Returns:
+        (new_state, c, w): radiance increment `c` [N, 3] and throughput
+        factor `w` [N, 3] for this bounce, both EXCLUDING the running
+        throughput — the driver accumulates R += T*c; T *= w. Dead lanes
+        produce c == 0 and w == 1, so drivers need no extra masking and the
+        replay backward's suffix quotient (L - A)/w is exact there.
+
+    Composed from the shared phase helpers (_vertex_nee, _vertex_sample,
+    _arrival_contribs) so the scan/replay drivers and the wavefront-refill
+    driver are bitwise-identical per path.
+    """
+    ro, rd, hit, active = state
+    eps = jnp.asarray(config.C_EPSILON, ro.dtype)
+    N = ro.shape[0]
+    tmin0 = jnp.full(N, eps)
+    tmax0 = jnp.full(N, jnp.inf)
+
+    sp = make_shade_point(scene, hit)
+    spec = is_specular(sp)
+
+    c = _vertex_nee(scene, streams, i, hit, sp, spec, active, ro, rd)
+
+    new_ro, dir_out, FG, bpdf, sample_ok = _vertex_sample(
+        scene, streams, i, hit, sp, rd
+    )
+    # dead lanes trace instantly-culled rays (tmax = -BIG): on BVH scenes a
+    # mostly-terminated wave stops paying full traversal per bounce
+    new_hit = intersect_scene(
+        scene, new_ro, dir_out, tmin0,
+        jnp.where(active & sample_ok, tmax0, -3.4e38),
+    )
+
+    miss_term, C2_term, contrib = _arrival_contribs(
+        scene, hit.pos, dir_out, FG, bpdf, spec, sample_ok, active, new_hit
+    )
+    c = c + miss_term
+    c = c + C2_term
 
     # throughput factor (path_tracing.h:107); dead lanes keep w == 1
     w = jnp.where(active[:, None], contrib, 1.0)

@@ -114,15 +114,24 @@ def render_image_multihost(
     )
     scene_g = _replicate_global(scene, mesh)
 
-    k = max(
-        1,
-        min(options.spp, options.max_rays_per_pass * n_dev // max(n_pad, 1)),
-    )
+    # same per-device pass cap as render_image: BVH scenes are limited to
+    # 2^18 paths per device per pass (the ~1M-path packet-kernel passes hit
+    # sporadic TPU-runtime InvalidArgument; ADVICE r3 low #4 — the multihost
+    # loop previously skipped the cap the single-host path gained)
+    max_pass = options.max_rays_per_pass
+    if scene.bvh is not None:
+        max_pass = min(max_pass, 1 << 18)
+    k = max(1, min(options.spp, max_pass * n_dev // max(n_pad, 1)))
     acc = None
     s = 0
     while s < options.spp:
         ns = min(k, options.spp - s)
         out = render_pass(scene_g, options, pix, jnp.int32(s), W, ns)
+        if scene.bvh is not None:
+            # sync per pass on the risky path (mirrors render_image's
+            # policy; retries are estimator-exact but need jax.distributed
+            # coordination, so multihost just fails fast with a sync point)
+            out = jax.block_until_ready(out)
         acc = out if acc is None else acc + out
         s += ns
 

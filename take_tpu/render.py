@@ -77,20 +77,26 @@ def _render_pass_jit(
         [P, 3] radiance *sum* over the pass's samples.
     """
     cam = scene.meta.camera
-    trace = _trace_fn(options)
     P = pixel_idx.shape[0]
 
     pix = jnp.tile(pixel_idx, n_samples)  # [P * k]
     samp = sample0 + jnp.repeat(
         jnp.arange(n_samples, dtype=jnp.int32), P, total_repeat_length=P * n_samples
     )
-    px = (pix % width).astype(jnp.float32)
-    py = (pix // width).astype(jnp.float32)
-    streams = rng.make_stream(options.seed, pix, samp)
-    jx = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_X))
-    jy = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_Y))
-    ro, rd = generate_rays(cam, px, py, jx, jy)
-    radiance = trace(scene, options, ro, rd, streams)
+    if options.integrator == "mis_wavefront":
+        # lane-refill driver: generates camera rays internally per refill
+        from take_tpu.integrator.wavefront import trace_wavefront
+
+        radiance = trace_wavefront(scene, options, pix, samp, width)
+    else:
+        trace = _trace_fn(options)
+        px = (pix % width).astype(jnp.float32)
+        py = (pix // width).astype(jnp.float32)
+        streams = rng.make_stream(options.seed, pix, samp)
+        jx = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_X))
+        jy = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_Y))
+        ro, rd = generate_rays(cam, px, py, jx, jy)
+        radiance = trace(scene, options, ro, rd, streams)
     return jnp.sum(radiance.reshape(n_samples, P, 3), axis=0)
 
 

@@ -77,10 +77,15 @@ def _pack_triangles(np_tri, Tpad, f, i32):
     # the only layout whose HBM->VMEM DMA slices satisfy Mosaic's 128-lane
     # alignment rule. Padding triangles are all-zero columns (the sweep
     # rejects them as parallel, dw == 0).
-    from take_tpu.geometry.bvh import CLUSTER_K, SUP, cluster_pad
+    from take_tpu.geometry.bvh import CLUSTER_K, GROUP, SUP, cluster_pad
 
     supt = SUP * CLUSTER_K
-    n_sup = cluster_pad(Tpad) // SUP
+    # pad to the same GROUP multiple as the sup_aabb table (cluster_aabbs)
+    # so the sweep kernel's whole-granule DMA is in bounds for EVERY sup id
+    # the slab test could conceivably pass, not just the valid ones
+    # (ADVICE r3: previously only NaN padding boxes kept this safe)
+    n_sup_valid = cluster_pad(Tpad) // SUP
+    n_sup = max(GROUP, -(-n_sup_valid // GROUP) * GROUP)
     ops = np.zeros((24, n_sup * supt))
     for k in range(3):
         cols = slice(k * Tpad, (k + 1) * Tpad)

@@ -105,10 +105,11 @@ class GeometryArrays:
     # hold operand j (o_u[4], o_v[4], o_w[4], d_u[3], d_v[3], d_w[3],
     # pad[3]) of that supercluster's SUPT triangles on lanes. Padding
     # triangles are all-zero columns => dw == 0 => the parallel-ray reject
-    # masks them. The table covers WHOLE (padded) superclusters — the
-    # kernel DMAs [24, SUPT] granules, so a tighter allocation would let
-    # the DMA read out of bounds.
-    tri_sweep: Any  # [(cluster_pad(Tpad)/SUP)*24, SUPT]
+    # masks them. The table covers EVERY row of the (GROUP-padded) sup_aabb
+    # table — the kernel DMAs [24, SUPT] granules, so the allocation must
+    # cover all SupP sup ids, including NaN-padded ones (asserted in
+    # pallas_cluster.cluster_traverse).
+    tri_sweep: Any  # [SupP*24, SUPT], SupP a GROUP multiple
     tri_attr: Any  # [T, ATTR_DIM] packed shading attributes
     sph_center: Any  # [S, 3]
     sph_radius: Any  # [S]

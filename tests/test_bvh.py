@@ -133,3 +133,56 @@ def test_two_phase_closest_exact(rng_np):
         out = _two_phase_closest(closest, jnp.float32(d0), ro, rd, tmin, tmax)
         for a, b in zip(out, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_occluded_sphere_merge_with_ray_sort(monkeypatch, rng_np):
+    """Regression (ADVICE r3 high): with RAY_SORT active on a kernel path,
+    bvh_occluded permutes rays for the kernel but must run the analytic-
+    sphere merge on ORIGINAL-order rays; the bug OR'd sphere occlusion into
+    the wrong lanes. Forces the cluster path (interpret mode) on CPU."""
+    import functools
+
+    from take_tpu import config
+    from take_tpu.geometry import traverse
+    from take_tpu.geometry import pallas_cluster
+    from take_tpu.geometry.traverse import bvh_occluded
+
+    b = SceneBuilder()
+    b.camera = Camera(8, 8, (0, 0, 30), (0, 0, 0), (0, 1, 0), 45.0)
+    m = b.add_material(MAT_DIFFUSE)
+    rng = np.random.default_rng(7)
+    for c in rng.uniform(-10, 10, (64, 3)):
+        v = c + rng.uniform(-0.8, 0.8, (3, 3))
+        b.add_mesh(v, np.array([[0, 1, 2]]), m)
+    for c in rng.uniform(-10, 10, (3, 3)):
+        b.add_sphere(tuple(c), 1.5, m)
+    scene = b.build(build_bvh=True)
+    assert scene.meta.n_sph == 3
+
+    N = traverse._SORT_MIN_RAYS  # large enough to trigger the sort
+    ro = jnp.asarray(rng.uniform(-12, 12, (N, 3)), jnp.float32)
+    d = rng.normal(size=(N, 3))
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    tmin = jnp.full(N, 1e-4)
+    tmax = jnp.full(N, jnp.inf)
+
+    # reference: un-permuted jnp traversal + sphere merge
+    from take_tpu.geometry.intersect import _sph_t
+
+    *_, found_tri = traverse._traverse(
+        scene, ro, rd, tmin, tmax, any_hit=True
+    )
+    _, valid_s = _sph_t(scene.geometry, ro, rd, tmin, tmax, 3)
+    ref = np.asarray(found_tri | jnp.any(valid_s, axis=1))
+    assert ref.any() and not ref.all()
+
+    # force the cluster kernel path (interpret mode) with ray sorting on
+    monkeypatch.setattr(config, "RAY_SORT", True)
+    monkeypatch.setattr(config, "FORCE_CLUSTER", True)
+    monkeypatch.setattr(traverse, "_cluster_eligible", lambda s: True)
+    monkeypatch.setattr(
+        pallas_cluster, "cluster_traverse",
+        functools.partial(pallas_cluster.cluster_traverse, interpret=True),
+    )
+    got = np.asarray(bvh_occluded(scene, ro, rd, tmin, tmax))
+    np.testing.assert_array_equal(got, ref)

@@ -22,7 +22,9 @@ from take_tpu.scene.types import RenderOptions
 
 REF_BIN = "/root/ref_build/build/take"
 SCENE = os.path.join(os.path.dirname(__file__), "..", "scenes", "cbox", "cbox.xml")
-GOLDEN_CACHE = "/tmp/take_golden_cbox.exr"
+# depth-keyed cache, shared with benchmarks/run_benchmarks.py (this test
+# renders at max_depth 4)
+GOLDEN_CACHE = "/tmp/take_golden_cbox_d4.exr"
 
 
 def _golden():

@@ -40,7 +40,9 @@ def assets():
 
 
 def _golden(name, rel, max_depth):
-    cache = f"/tmp/take_golden_{name}.exr"
+    # cache key includes max_depth so runs at different settings never
+    # share a golden (format matches benchmarks/run_benchmarks.py)
+    cache = f"/tmp/take_golden_{name}_d{max_depth}.exr"
     if not os.path.exists(cache):
         if not os.path.exists(REF_BIN):
             pytest.skip("reference binary not available")
