@@ -40,11 +40,14 @@ def main():
     options = RenderOptions(spp=8, max_depth=3, seed=0)
 
     render_image_multihost(scene, options)  # warmup/compile
+    stats = {}
     t0 = time.time()
-    render_image_multihost(scene, options)
+    render_image_multihost(scene, options, stats=stats)
     dt = time.time() - t0
     if proc_id == 0:
-        print(f"SCALING n={n_procs} t={dt:.3f}", flush=True)
+        print(f"SCALING n={n_procs} t={dt:.3f} "
+              f"pass={stats['pass_seconds']:.3f} "
+              f"asm={stats['assemble_seconds']:.3f}", flush=True)
     return 0
 
 

@@ -57,11 +57,13 @@ PACKET_BLOCK = 256
 SORT_DIR_BITS = 0
 
 # Two-phase closest-hit for BVH scenes (geometry/traverse.py): phase 1 caps
-# every ray at TWO_PHASE_FRAC * scene diagonal (tight per-block node unions
-# around the binned origins), then lanes it could not resolve are compacted
-# to the front and re-traced at full range. Estimator-exact; typically
-# resolves the bulk of bounce rays at a fraction of the traversal cost.
-TWO_PHASE = True
+# every ray at TWO_PHASE_FRAC * scene diagonal, then unresolved lanes are
+# compacted and re-traced at full range. Estimator-exact. DEFAULT OFF since
+# round 4: with correct device sync (block_until_ready is a no-op through
+# the tunnel, so round-3 timings undercounted), the room d6 pass measures
+# 1006 ms without it vs 1325 ms with it — the second kernel launch + extra
+# argsort cost more than the tighter unions save (benchmarks/policy_bench).
+TWO_PHASE = False
 TWO_PHASE_FRAC = 0.06
 
 # Lane capacity of the wavefront-refill driver (integrator/wavefront.py):
@@ -72,9 +74,14 @@ WAVE_SIZE = 1 << 16
 
 # Cluster-sweep traversal kernel (geometry/pallas_sweep.py): tree-free
 # cull+sweep over the 64-triangle Morton cluster table, VMEM-resident.
-# The preferred backend for BVH scenes that fit VMEM (see traverse.py
-# backend selection); trace-time switch like PALLAS_BRUTE.
+# NEGATIVE RESULT (round 4, benchmarks/sweep_bench): exact on-chip parity,
+# but on room bounce waves it converges to the same ~0.5-1 us per
+# block-divergent work unit as the packet kernel (166 ms vs packet's 94 ms
+# on the b2 wave) — the per-sweep VPU volume floor, not the tree, is the
+# bottleneck. Kept as a tested alternate backend; FORCE_SWEEP routes BVH
+# scenes through it for experiments.
 PALLAS_SWEEP = True
+FORCE_SWEEP = False
 
 
 def checks_enabled() -> bool:

@@ -38,10 +38,18 @@ def length_squared(a):
 
 
 def normalize(a, eps=0.0):
-    """Normalize over trailing axis. With eps>0, guards zero vectors."""
+    """Normalize over trailing axis. With eps>0, guards zero vectors.
+
+    Grad-safe at a == 0: sqrt's derivative at 0 is infinite, and
+    jnp.maximum routes a ZERO cotangent into it — 0 * inf = NaN — so the
+    sqrt argument is floored with a where (which fully disconnects the
+    dead branch) instead. Primal values are unchanged: for eps == 0 a
+    zero vector still yields 0/0 = NaN in the PRIMAL exactly as before
+    (callers that can see zero vectors must pass eps)."""
     n2 = jnp.sum(a * a, axis=-1, keepdims=True)
     if eps:
-        n2 = jnp.maximum(n2, eps)
+        pos = n2 > eps
+        n2 = jnp.where(pos, n2, eps)
     return a / jnp.sqrt(n2)
 
 
@@ -95,6 +103,19 @@ def srgb_to_linear(c):
     """sRGB electro-optical transfer, matching parse_scene.cpp:31-40."""
     c = jnp.asarray(c)
     return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def safe_norm(x, axis=-1):
+    """Euclidean norm with a ZERO gradient at x == 0.
+
+    jnp.linalg.norm's VJP is x / |x| — 0/0 = NaN at the origin. Degenerate
+    lanes (dead paths, a light sample coinciding with the shading point)
+    legitimately hit exactly 0 and are masked downstream, but the NaN
+    poisons reverse-mode anyway (round-4 fix: Disney roughness gradients).
+    Primal values are bitwise identical to jnp.linalg.norm."""
+    sq = jnp.sum(x * x, axis=axis)
+    pos = sq > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
 
 
 def safe_div(a, b, default=0.0):

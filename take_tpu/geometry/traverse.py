@@ -355,6 +355,19 @@ def _traverse_backend(scene: Scene, ro, rd, tmin, tmax):
     sg = jax.lax.stop_gradient
     scene, ro, rd = sg(scene), sg(ro), sg(rd)
     tmin, tmax = sg(tmin), sg(tmax)
+    if getattr(config, "FORCE_SWEEP", False) and _packet_eligible(scene):
+        # experimental alternate backend (see config.FORCE_SWEEP note)
+        from take_tpu.geometry.intersect import _pad_rays
+        from take_tpu.geometry.pallas_sweep import sweep_traverse
+        from take_tpu.geometry.pallas_traverse import prep_tables
+
+        N = ro.shape[0]
+        _, ro_p, rd_p, tmin_p, tmax_p = _pad_rays(ro, rd, tmin, tmax, 128)
+        t, u, v, prim = sweep_traverse(
+            scene.bvh.cl_aabb, prep_tables(scene)[1],
+            ro_p, rd_p, tmin_p, tmax_p, n_tri=int(scene.meta.n_tri),
+        )
+        return t[:N], u[:N], v[:N], prim[:N], prim[:N] >= 0
     use_cluster = _use_cluster(scene)
     use_packet = not use_cluster and _packet_eligible(scene)
     if not (use_cluster or use_packet):

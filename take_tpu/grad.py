@@ -34,11 +34,10 @@ def render_radiance(scene: Scene, options: RenderOptions, pixel_idx, sample0,
     """
     cam = scene.meta.camera
     P = pixel_idx.shape[0]
-    pix = jnp.tile(pixel_idx, n_samples)
-    samp = sample0 + jnp.repeat(
-        jnp.arange(n_samples, dtype=jnp.int32), P,
-        total_repeat_length=P * n_samples,
-    )
+    # pixel-major flattening: shard-friendly (see render._render_pass_jit)
+    pix = jnp.repeat(pixel_idx, n_samples,
+                     total_repeat_length=P * n_samples)
+    samp = sample0 + jnp.tile(jnp.arange(n_samples, dtype=jnp.int32), P)
     px = (pix % cam.width).astype(jnp.float32)
     py = (pix // cam.width).astype(jnp.float32)
     streams = rng.make_stream(options.seed, pix, samp)
@@ -62,7 +61,7 @@ def render_radiance(scene: Scene, options: RenderOptions, pixel_idx, sample0,
         radiance = trace_mis_replay(scene, options, ro, rd, streams)
     else:
         radiance = trace_mis(scene, options, ro, rd, streams)
-    return jnp.mean(radiance.reshape(n_samples, P, 3), axis=0)
+    return jnp.mean(radiance.reshape(P, n_samples, 3), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("options", "n_samples"))

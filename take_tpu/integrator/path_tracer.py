@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from take_tpu import config
 from take_tpu.core import rng
-from take_tpu.core.math import dot, normalize, safe_div
+from take_tpu.core.math import dot, normalize, safe_div, safe_norm
 from take_tpu.geometry.intersect import intersect_scene, occluded
 from take_tpu.lights.lights import (
     area_pdf_from_hit_geom,
@@ -122,7 +122,7 @@ def _vertex_nee(scene: Scene, streams, i, hit, sp, spec, active, ro, rd):
             light_id = jnp.clip(slot, 0, n_lights - 1)
             ls = sample_on_light(scene, light_id, hit.pos, u1, u2)
             delta = ls.position - hit.pos
-            d = jnp.linalg.norm(delta, axis=-1)
+            d = safe_norm(delta)  # grad-safe at d == 0
             light_dir = delta / jnp.maximum(d, 1e-30)[:, None]
             tmax_shadow = (1.0 - 1e-3) * d
         else:
@@ -153,13 +153,27 @@ def _vertex_nee(scene: Scene, streams, i, hit, sp, spec, active, ro, rd):
         )
         FG = bsdf_eval(scene, sp, dir_in, light_dir)
         bp = bsdf_pdf(scene, sp, dir_in, light_dir)
+        # pdfs can legitimately reach inf at grazing/degenerate
+        # configurations; the power heuristic squares them, and
+        # d(inf^2) = 2*inf*0-cotangent = NaN under AD even though the
+        # weight itself limits to 0 — clamp to a cap whose square is
+        # finite (weights change by < 1e-18; round-4 fix)
+        bp = jnp.minimum(bp, 1e18)
 
         if scene.meta.has_area_lights:
             cos_l = jnp.maximum(dot(-ls.normal, light_dir), 0.0)
             apdf = area_pdf_from_sample(ls, ls.position, hit.pos)
             # solid-angle light pdf (path_tracing.h:39); cos_l == 0 lanes
             # correspond to the reference's +inf pdf => contribution skipped
-            lp = safe_div(apdf * d * d, cos_l * n_slots, 0.0)
+            # floor cos_l BEFORE dividing: a denormal cos makes the
+            # quotient inf and min(inf, cap)'s VJP emits 0*inf = NaN; the
+            # floor also matches the reference limit (cos -> 0 => light
+            # pdf -> inf => MIS weight -> 0, path_tracing.h:39,55 — the
+            # old safe_div gave lp = 0, i.e. FULL weight, at exact 0)
+            lp = jnp.minimum(
+                safe_div(apdf * d * d,
+                         jnp.maximum(cos_l, 1e-12) * n_slots, 0.0),
+                1e18)
             w = safe_div(lp, lp * lp + bp * bp, 0.0)  # power heuristic /lp
             ok = (
                 (~is_env) & ls.is_area & (bp > 0.0) & (cos_l > 0.0)
@@ -177,7 +191,7 @@ def _vertex_nee(scene: Scene, streams, i, hit, sp, spec, active, ro, rd):
             C1 = C1 + C1_pt
         if scene.meta.has_envmap:
             Li_env = envmap_eval(scene.envmap, light_dir)
-            lp_env = env_pdf / n_slots
+            lp_env = jnp.minimum(env_pdf / n_slots, 1e18)
             w_env = safe_div(lp_env, lp_env * lp_env + bp * bp, 0.0)
             ok_env = is_env & (bp > 0.0) & (env_pdf > 0.0) & (~shadow_occ)
             C1 = C1 + FG * Li_env * jnp.where(ok_env, w_env, 0.0)[:, None]
@@ -196,9 +210,27 @@ def _vertex_sample(scene: Scene, streams, i, hit, sp, rd):
     ub2 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_BSDF_U2))
     ub3 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_AUX))
     dir_out, bpdf = bsdf_sample(scene, sp, dir_in, u_lobe, ub1, ub2, ub3)
+    sample_ok = bpdf > 0.0
+    # failed samples can return a degenerate (zero) direction; every use is
+    # masked by sample_ok, but normalize/bsdf_eval VJPs on a zero vector
+    # produce 0/0 = NaN even under zero cotangents (the jnp.where trap), so
+    # substitute a constant unit direction on dead lanes BEFORE any math
+    # (good lanes pass through bitwise unchanged)
+    dir_out = jnp.where(
+        sample_ok[:, None],
+        dir_out,
+        jnp.asarray([0.0, 0.0, 1.0], dir_out.dtype),
+    )
+    # DETACHED SAMPLING, uniformly: the sampled direction is a constant
+    # under AD (the pdf's parameter dependence stays attached). The replay
+    # VJP always did this (module note above, same choice as Mitsuba's
+    # prb); round 4 extends it to AD-of-scan, which previously carried
+    # reparameterization terms through dir_out into later-bounce geometry
+    # (d^2 / cos terms whose VJPs overflow/NaN at grazing and degenerate
+    # configurations faster than they can be masked).
+    dir_out = jax.lax.stop_gradient(dir_out)
     FG = bsdf_eval(scene, sp, dir_in, dir_out, sample_pdf=bpdf)
     dir_out = normalize(dir_out, eps=1e-30)
-    sample_ok = bpdf > 0.0
     new_ro = offset_origin(hit.pos, hit.geo_n, dir_out)
     return new_ro, dir_out, FG, bpdf, sample_ok
 
@@ -214,6 +246,8 @@ def _arrival_contribs(scene: Scene, prev_pos, dir_out, FG, bpdf, spec,
     n_slots = n_lights + (1 if scene.meta.has_envmap else 0)
 
     contrib = safe_div(FG, bpdf[:, None], 0.0)  # FG / bsdf_pdf
+    bpdf_c = jnp.minimum(bpdf, 1e18)  # finite square under AD (see
+    # _vertex_nee note); weights change by < 1e-18
 
     # miss -> background (path_tracing.h:82-87). With an env light the
     # escape direction is MIS-weighted against the NEE env technique;
@@ -222,11 +256,12 @@ def _arrival_contribs(scene: Scene, prev_pos, dir_out, FG, bpdf, spec,
     if scene.meta.has_envmap:
         from take_tpu.lights.envmap import envmap_pdf
 
-        lp_env = envmap_pdf(scene.envmap, dir_out) / n_slots
+        lp_env = jnp.minimum(
+            envmap_pdf(scene.envmap, dir_out) / n_slots, 1e18)
         w_env_bs = jnp.where(
             spec,
             safe_div(jnp.ones_like(bpdf), bpdf, 0.0),
-            safe_div(bpdf, lp_env * lp_env + bpdf * bpdf, 0.0),
+            safe_div(bpdf_c, lp_env * lp_env + bpdf_c * bpdf_c, 0.0),
         )
         miss_radiance = FG * _background(scene, dir_out) * w_env_bs[:, None]
     else:
@@ -238,17 +273,26 @@ def _arrival_contribs(scene: Scene, prev_pos, dir_out, FG, bpdf, spec,
     C2 = jnp.zeros_like(prev_pos)
     if n_lights > 0 and scene.meta.has_area_lights:
         hit_em = new_hit.valid & (new_hit.light_id >= 0)
-        d2 = jnp.linalg.norm(new_hit.pos - prev_pos, axis=-1)
+        d2 = safe_norm(new_hit.pos - prev_pos)  # grad-safe
         # light_dir == dir_out (the reference recomputes it; identical)
         cos_l = jnp.maximum(dot(-new_hit.geo_n, dir_out), 0.0)
         apdf = area_pdf_from_hit_geom(
             new_hit.light_geom, new_hit.pos, prev_pos
         )
-        lp = safe_div(apdf * d2 * d2, cos_l * n_slots, 0.0)
+        # non-emitter lanes carry garbage light_geom whose pdf can be inf;
+        # it is masked out of the ESTIMATE below, but a detached-inf
+        # numerator turns the cos_l gradient into inf * finite = NaN, so
+        # zero it before lp (the weight only matters where hit_em)
+        apdf = jnp.where(hit_em, apdf, 0.0)
+        # cos floor before dividing: see the _vertex_nee note (inf
+        # quotient -> NaN VJP; reference limit is weight -> 0)
+        lp = safe_div(
+            apdf * d2 * d2, jnp.maximum(cos_l, 1e-12) * n_slots, 0.0)
+        lp = jnp.minimum(lp, 1e18)  # lp^2 stays finite in f32 VJPs
         w = jnp.where(
             spec,
             safe_div(jnp.ones_like(bpdf), bpdf, 0.0),
-            safe_div(bpdf, lp * lp + bpdf * bpdf, 0.0),
+            safe_div(bpdf_c, lp * lp + bpdf_c * bpdf_c, 0.0),
         )
         C2 = FG * new_hit.emit * jnp.where(
             hit_em & sample_ok, w, 0.0

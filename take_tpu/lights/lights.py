@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from take_tpu.core.math import C_TWOPI, dot, normalize
+from take_tpu.core.math import C_TWOPI, dot, normalize, safe_norm
 from take_tpu.core.sampling import sample_sphere_visible, sample_triangle
 from take_tpu.scene.types import (
     LATTR_E1,
@@ -156,10 +156,12 @@ def area_pdf_from_sample(ls: LightSample, light_pos, ref_pos):
 
 
 def sphere_cap_pdf(radius, light_pos, ref_pos):
-    d = jnp.linalg.norm(light_pos - ref_pos, axis=-1)
-    denom = C_TWOPI * radius * radius * (
-        1.0 - radius / jnp.maximum(d, 1e-30)
-    )
+    # floor d at 1e-6 (not 1e-30): the r/d VJP is -r/d^2, which overflows
+    # f32 for d < ~1e-16 and poisons masked lanes with 0*inf = NaN under
+    # AD (round-4 fix). d < 1e-6 means the reference point is inside the
+    # light — the pdf is garbage there either way and always masked.
+    d = jnp.maximum(safe_norm(light_pos - ref_pos), 1e-6)
+    denom = C_TWOPI * radius * radius * (1.0 - radius / d)
     return 1.0 / jnp.maximum(denom, 1e-30)
 
 

@@ -316,14 +316,14 @@ def _blinn_phong_sample(sp, dir_in, u1, u2):
 
 def _blinn_phong_pdf(sp, dir_in, dir_out):
     n = _shading_frame(sp, dir_in)
-    h = normalize(dir_out + dir_in)
+    h = normalize(dir_out + dir_in, eps=1e-12)
     pdf = _bp_pdf_formula(sp, n, h, dir_out)
     return jnp.where(dot(sp.geo_n, dir_out) <= 0.0, 0.0, pdf)
 
 
 def _blinn_phong_eval(sp, dir_in, dir_out, sample_pdf):
     n = _shading_frame(sp, dir_in)
-    h = normalize(dir_out + dir_in)
+    h = normalize(dir_out + dir_in, eps=1e-12)
     Fh = _schlick(sp.refl, dot(h, dir_out)[..., None])
     norm = (sp.exponent + 2.0) * 0.25 * C_INVPI / (
         2.0 - 2.0 ** (-sp.exponent / 2.0)
@@ -338,7 +338,7 @@ def _blinn_phong_eval(sp, dir_in, dir_out, sample_pdf):
 
 def _bp_micro_eval(sp, dir_in, dir_out, sample_pdf):
     n = _shading_frame(sp, dir_in)
-    h = normalize(dir_out + dir_in)
+    h = normalize(dir_out + dir_in, eps=1e-12)
     ndh = jnp.clip(dot(n, h), 0.0, 1.0)
     Fh = _schlick(sp.refl, dot(h, dir_out)[..., None])
     Dh = (sp.exponent + 2.0) * C_INVTWOPI * _powz(ndh, sp.exponent)
@@ -357,7 +357,7 @@ def _bp_micro_eval(sp, dir_in, dir_out, sample_pdf):
 
 def _disney_diffuse_eval(sp, dir_in, dir_out, sample_pdf):
     n = _shading_frame(sp, dir_in)
-    h = normalize(dir_in + dir_out)
+    h = normalize(dir_in + dir_out, eps=1e-12)
     hdout = dot(h, dir_out)
     ndout = dot(n, dir_out)
     ndin = dot(n, dir_in)

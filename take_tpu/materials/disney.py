@@ -84,12 +84,29 @@ def _to_local(n, tx, ty, w):
 
 
 def _ggx_D(hl, ax, ay):
-    """Anisotropic GGX NDF in local frame; hl [N,3]."""
+    """Anisotropic GGX NDF in local frame; hl [N,3].
+
+    Factored as (1/k)^2 * 1/(pi ax ay): the naive 1/(pi ax ay k^2) forms
+    products that UNDERFLOW f32 at small alpha x small k, whose reciprocal
+    is inf and whose VJP is 0*inf = NaN on masked lanes (round-4 fix).
+    Every factor here is individually bounded (<= ~1e7 each)."""
     hx, hy, hz = hl[..., 0], hl[..., 1], hl[..., 2]
     k = hx * hx / (ax * ax) + hy * hy / (ay * ay) + hz * hz
-    return jnp.where(
-        hz > 0.0, 1.0 / (C_PI * ax * ay * jnp.maximum(k * k, 1e-20)), 0.0
-    )
+    ik = 1.0 / jnp.maximum(k, 1e-7)
+    return jnp.where(hz > 0.0, ik * ik / (C_PI * ax * ay), 0.0)
+
+
+def _sqrt0(x):
+    """sqrt clamped at 0 with ZERO gradient at the boundary.
+
+    Plain sqrt has an infinite derivative at 0; wherever a clipped
+    quantity legitimately reaches 0 (TIR, horizon, sampling-disc edges)
+    the chain rule turns a masked lane into NaN even under zero
+    cotangents (round-4 fix: Disney roughness gradients NaN'd on any
+    scene with grazing/TIR configurations). Primal values are bitwise
+    unchanged."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def _smith_lambda(wl, ax, ay):
@@ -117,13 +134,13 @@ def _sample_ggx_vndf(wl, ax, ay, u1, u2):
         jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], v.dtype), v.shape),
     )
     t2 = jnp.cross(v, t1)
-    r = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
+    r = _sqrt0(jnp.clip(u1, 0.0, 1.0))
     phi = C_TWOPI * u2
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + v[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.clip(1.0 - p1 * p1, 0.0, 1.0)) + s * p2
-    p3 = jnp.sqrt(jnp.clip(1.0 - p1 * p1 - p2 * p2, 0.0, 1.0))
+    p2 = (1.0 - s) * _sqrt0(jnp.clip(1.0 - p1 * p1, 0.0, 1.0)) + s * p2
+    p3 = _sqrt0(jnp.clip(1.0 - p1 * p1 - p2 * p2, 0.0, 1.0))
     nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * v
     h = jnp.stack(
         [nh[..., 0] * ax, nh[..., 1] * ay, jnp.maximum(nh[..., 2], 1e-6)], -1
@@ -149,7 +166,7 @@ def _fresnel_dielectric(cos_i, eta):
     cos_i = jnp.clip(cos_i, 0.0, 1.0)
     sin2_t = (1.0 - cos_i * cos_i) / (eta * eta)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 0.0, 1.0))
+    cos_t = _sqrt0(jnp.clip(1.0 - sin2_t, 0.0, 1.0))
     rs = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-12)
     rp = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-12)
     F = 0.5 * (rs * rs + rp * rp)
@@ -253,8 +270,8 @@ def _clearcoat_sample(sp, dir_in, u1, u2):
     alpha = _cc_alpha(sp)
     a2 = jnp.maximum(alpha * alpha, 1e-12)
     cos2 = (1.0 - a2 ** (1.0 - u1)) / (1.0 - a2)
-    cos_h = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
-    sin_h = jnp.sqrt(jnp.clip(1.0 - cos2, 0.0, 1.0))
+    cos_h = _sqrt0(jnp.clip(cos2, 0.0, 1.0))
+    sin_h = _sqrt0(jnp.clip(1.0 - cos2, 0.0, 1.0))
     phi = C_TWOPI * u2
     hl = jnp.stack([sin_h * jnp.cos(phi), sin_h * jnp.sin(phi), cos_h], -1)
     h = hl[..., 0:1] * tx + hl[..., 1:2] * ty + cos_h[..., None] * n
@@ -340,7 +357,7 @@ def _glass_eval(sp, dir_in, dir_out):
     denom = hdi + eta * hdo
     denom2 = jnp.maximum(denom * denom, 1e-12)
     f_trans = (
-        jnp.sqrt(jnp.maximum(sp.refl, 0.0))
+        _sqrt0(jnp.maximum(sp.refl, 0.0))
         * (
             (1.0 - F)
             * D
@@ -399,7 +416,7 @@ def _glass_sample(sp, dir_in, u_lobe, u1, u2):
     cos_i = hdi
     sin2_t = (1.0 - cos_i * cos_i) / (eta * eta)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 0.0, 1.0))
+    cos_t = _sqrt0(jnp.clip(1.0 - sin2_t, 0.0, 1.0))
     d_trans = normalize(
         -dir_in / eta[..., None]
         + (jnp.abs(cos_i) / eta - cos_t)[..., None] * jnp.sign(cos_i)[..., None] * h,

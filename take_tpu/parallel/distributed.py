@@ -84,7 +84,8 @@ def _replicate_global(tree, mesh):
 
 
 def render_image_multihost(
-    scene: Scene, options: RenderOptions = RenderOptions(), mesh=None
+    scene: Scene, options: RenderOptions = RenderOptions(), mesh=None,
+    stats: dict = None,
 ):
     """Full-frame render over ALL processes' devices; returns the complete
     [H, W, 3] numpy image on EVERY host (y-flipped like the reference).
@@ -92,6 +93,11 @@ def render_image_multihost(
     Bit-identical to render_image / render_image_sharded at any process or
     device count: the counter-based RNG keys by (pixel, sample), never by
     device (tests/test_multihost.py asserts this cross-process).
+
+    Pass stats={} to collect a phase breakdown (pass_seconds — sharded
+    compute, synced per pass; assemble_seconds — the cross-process
+    allgather): the scaling harness uses it to attribute efficiency loss
+    to compute vs communication. Adds one device sync per pass.
     """
     from jax.experimental import multihost_utils
 
@@ -122,19 +128,28 @@ def render_image_multihost(
     if scene.bvh is not None:
         max_pass = min(max_pass, 1 << 18)
     k = max(1, min(options.spp, max_pass * n_dev // max(n_pad, 1)))
+    import time as _time
+
     acc = None
     s = 0
+    t_pass = 0.0
     while s < options.spp:
         ns = min(k, options.spp - s)
+        t0 = _time.perf_counter()
         out = render_pass(scene_g, options, pix, jnp.int32(s), W, ns)
-        if scene.bvh is not None:
+        if scene.bvh is not None or stats is not None:
             # sync per pass on the risky path (mirrors render_image's
             # policy; retries are estimator-exact but need jax.distributed
             # coordination, so multihost just fails fast with a sync point)
             out = jax.block_until_ready(out)
+        t_pass += _time.perf_counter() - t0
         acc = out if acc is None else acc + out
         s += ns
 
+    t0 = _time.perf_counter()
     full = multihost_utils.process_allgather(acc, tiled=True)
+    if stats is not None:
+        stats["pass_seconds"] = round(t_pass, 4)
+        stats["assemble_seconds"] = round(_time.perf_counter() - t0, 4)
     img = np.asarray(full)[:n_pixels].reshape(H, W, 3) / options.spp
     return img[::-1]

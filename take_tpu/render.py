@@ -79,11 +79,29 @@ def _render_pass_jit(
     cam = scene.meta.camera
     P = pixel_idx.shape[0]
 
-    pix = jnp.tile(pixel_idx, n_samples)  # [P * k]
-    samp = sample0 + jnp.repeat(
-        jnp.arange(n_samples, dtype=jnp.int32), P, total_repeat_length=P * n_samples
+    # PIXEL-MAJOR path flattening: lane i*k + j = (pixel i, sample j).
+    # The earlier sample-major tile() interleaved shards of the pixel axis,
+    # so under a sharded pixel_idx GSPMD had to replicate/gather the whole
+    # path axis every pass — measured 3-4x weak-scaling loss (round 4,
+    # benchmarks/scaling.py breakdown). Pixel-major keeps every reshape a
+    # block-preserving split of the sharded axis (no collectives). The
+    # (pixel, sample) pair set and per-pixel sum order are unchanged, so
+    # the estimator is identical.
+    pix = jnp.repeat(pixel_idx, n_samples,
+                     total_repeat_length=P * n_samples)  # [P * k]
+    samp = sample0 + jnp.tile(jnp.arange(n_samples, dtype=jnp.int32), P)
+    use_wavefront = options.integrator == "mis_wavefront" or (
+        # default-driver policy (measured, benchmarks/policy_bench): the
+        # lane-refill wavefront wins once dead-lane waste dominates —
+        # room d50 2.57 s vs 3.82 s scan — but loses at shallow depth
+        # (room d6: 1.23 vs 1.01 s) and on cheap-traversal scenes at any
+        # depth (cbox d50: 295 vs 117 ms, refill overhead > brute sweeps
+        # on dead lanes). Gate: BVH scene AND depth past the crossover.
+        options.integrator == "mis"
+        and scene.bvh is not None
+        and options.max_depth >= 8
     )
-    if options.integrator == "mis_wavefront":
+    if use_wavefront:
         # lane-refill driver: generates camera rays internally per refill
         from take_tpu.integrator.wavefront import trace_wavefront
 
@@ -97,7 +115,7 @@ def _render_pass_jit(
         jy = rng.uniform(streams, rng.camera_counter(rng.DIM_CAMERA_JITTER_Y))
         ro, rd = generate_rays(cam, px, py, jx, jy)
         radiance = trace(scene, options, ro, rd, streams)
-    return jnp.sum(radiance.reshape(n_samples, P, 3), axis=0)
+    return jnp.sum(radiance.reshape(P, n_samples, 3), axis=1)
 
 
 def render_pass(scene, options, pixel_idx, sample0, width, n_samples):
