@@ -70,6 +70,8 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
     hi, lo = rng.make_stream(options.seed, pixel_idx, sample_idx)  # [P]
 
     def camera_rays(path_ids):
+        """(ro, rd, stream_hi, stream_lo) for the given paths — gathers
+        the per-path streams, so callers cache the result per lane."""
         pid = jnp.clip(path_ids, 0, P - 1)
         st = (hi[pid], lo[pid])
         jx = rng.uniform(st, rng.camera_counter(rng.DIM_CAMERA_JITTER_X))
@@ -77,15 +79,18 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
         pix = pixel_idx[pid]
         px = (pix % width).astype(jnp.float32)
         py = (pix // width).astype(jnp.float32)
-        return generate_rays(cam, px, py, jx, jy)
+        ro, rd = generate_rays(cam, px, py, jx, jy)
+        return ro, rd, st[0], st[1]
 
     lane_path = jnp.arange(Q, dtype=jnp.int32)
     occ = lane_path < P
-    cro, crd = camera_rays(lane_path)
+    cro, crd, shi0, slo0 = camera_rays(lane_path)
 
     carry = (
         lane_path,
         occ,
+        shi0,  # per-lane RNG stream (cached; re-gathered only on refill)
+        slo0,
         jnp.zeros(Q, jnp.int32),  # nextv: vertex index of the arrival
         cro,  # pend_ro
         crd,  # pend_rd
@@ -106,8 +111,8 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
         return jnp.any(carry[1])
 
     def body(carry):
-        (lane_path, occ, nextv, pend_ro, pend_rd, prev_pos, FG, bpdf, spec,
-         sok, c1, T, R, nxt, out, counts) = carry
+        (lane_path, occ, shi, slo, nextv, pend_ro, pend_rd, prev_pos, FG,
+         bpdf, spec, sok, c1, T, R, nxt, out, counts) = carry
 
         # ---- trace the pending ray of every occupied lane ----
         hit = intersect_scene(
@@ -125,8 +130,7 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
         cont = occ & sok & hit.valid & (nextv <= max_depth)
 
         # ---- phase B: NEE + BSDF sampling at the new vertex ----
-        pid = jnp.clip(lane_path, 0, P - 1)
-        st = (hi[pid], lo[pid])
+        st = (shi, slo)
         iv = nextv.astype(jnp.uint32)
         sp = make_shade_point(scene, hit)
         specn = is_specular(sp)
@@ -149,7 +153,16 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
         occ = cont | refill
         nxt = nxt + jnp.sum(refill.astype(jnp.int32))
 
-        cro, crd = camera_rays(lane_path)
+        # camera rays + stream gathers are only needed on refill
+        # iterations; most iterations have none, so skip the full width
+        cro, crd, nhi, nlo = jax.lax.cond(
+            jnp.any(refill),
+            lambda lp: camera_rays(lp),
+            lambda lp: (pend_ro, pend_rd, shi, slo),
+            lane_path,
+        )
+        shi = jnp.where(refill, nhi, shi)
+        slo = jnp.where(refill, nlo, slo)
         rf = refill[:, None]
         pend_ro = jnp.where(rf, cro, new_ro)
         pend_rd = jnp.where(rf, crd, dir_out)
@@ -169,11 +182,11 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
             counts = counts + jnp.stack(
                 [jnp.int64(2 * Q), live + shadow]
             )
-        return (lane_path, occ, nextv, pend_ro, pend_rd, prev_pos, FG,
-                bpdf, spec, sok, c1, T, R, nxt, out, counts)
+        return (lane_path, occ, shi, slo, nextv, pend_ro, pend_rd,
+                prev_pos, FG, bpdf, spec, sok, c1, T, R, nxt, out, counts)
 
     carry = jax.lax.while_loop(cond, body, carry)
-    out = carry[14][:P]
+    out = carry[16][:P]
     if with_counts:
-        return out, carry[15][0], carry[15][1]
+        return out, carry[17][0], carry[17][1]
     return out

@@ -61,3 +61,25 @@ def test_sharded_gradients_match(scene):
     c = np.asarray(g_single.lights.attr)
     d = np.asarray(g_sharded.lights.attr)
     np.testing.assert_allclose(c, d, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_wavefront_matches_single_device():
+    """The depth-gated default routes deep BVH renders through the
+    lane-refill wavefront driver (render.py policy); its internal
+    cumsum/scatter refill machinery must partition correctly under GSPMD.
+    Compare an 8-device sharded render against the single-device image on
+    a BVH scene past the depth gate."""
+    import numpy as np
+    from take_tpu.render import render_image
+    from take_tpu.scene.types import RenderOptions
+
+    from tests.test_bvh import random_soup_scene
+
+    scene = random_soup_scene(700, build_bvh=True)
+    assert scene.bvh is not None
+    opts = RenderOptions(spp=2, max_depth=9, seed=5)  # >= 8 -> wavefront
+    single = render_image(scene, opts)
+    img8 = render_image_sharded(scene, opts, make_mesh(8))
+    # two independently partitioned programs: tight-tolerance equality
+    # (see integrator/wavefront.py docstring on XLA fusion and last-ulp)
+    np.testing.assert_allclose(img8, single, rtol=1e-5, atol=1e-6)
