@@ -56,6 +56,13 @@ PACKET_BLOCK = 256
 # 0 = octant only.
 SORT_DIR_BITS = 0
 
+# Binning permutation construction: "counting" = stable counting sort by
+# the top SORT_BITS of the key (a few ms; block coherence only needs
+# buckets); "argsort" = full 27-bit comparator sort (38-42 ms per 2^18
+# rays on-chip, round-4 measurement). Trace-time switch.
+SORT_MODE = "argsort"  # flip to "counting" pending on-chip A/B
+SORT_BITS = 10
+
 # Two-phase closest-hit for BVH scenes (geometry/traverse.py): phase 1 caps
 # every ray at TWO_PHASE_FRAC * scene diagonal, then unresolved lanes are
 # compacted and re-traced at full range. Estimator-exact. DEFAULT OFF since

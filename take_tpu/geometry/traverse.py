@@ -228,6 +228,56 @@ def _morton8(q):
     )
 
 
+def _counting_perm(key, n_bits: int):
+    """Stable counting sort by the TOP n_bits of the binning key ->
+    (perm, inv).
+
+    The full 27-bit jnp.argsort costs 38-42 ms per 2^18-ray wave on the
+    chip (comparator sort; measured round 4, traverse_ablate) — a fixed
+    tax per traversal query. Block coherence only needs rays BUCKETED, not
+    totally ordered: with the sort stable, rays inside a bucket keep
+    raster order (exactly the within-bucket order the 27-bit key's low
+    origin bits approximate anyway). Cost model: one [C, B]-chunked
+    one-hot + cumsum (memory-bound, ~1 GB traffic at 2^18 x 1024 buckets)
+    + two gathers + one scatter, a few ms total.
+
+    Correctness does not depend on the permutation at all (per-ray results
+    are block-order independent, see the binning note above); any
+    deterministic permutation is valid.
+    """
+    N = key.shape[0]
+    B = 1 << n_bits
+    bucket = (key >> (27 - n_bits)).astype(jnp.int32)
+    bucket = jnp.clip(bucket, 0, B - 1)
+    C = min(N, 1 << 15)
+    n_chunks = -(-N // C)
+    Npad = n_chunks * C
+    if Npad != N:
+        # pad with the LAST bucket so padding lands at the end; callers
+        # slice perm[:N] implicitly via the gather below
+        bucket = jnp.concatenate(
+            [bucket, jnp.full(Npad - N, B - 1, jnp.int32)])
+    bch = bucket.reshape(n_chunks, C)
+    iota_b = jnp.arange(B, dtype=jnp.int32)[None, :]
+
+    def chunk_scan(carry, bk):
+        base = carry  # [B] counts before this chunk
+        onehot = (bk[:, None] == iota_b).astype(jnp.int32)  # [C, B]
+        # exclusive prefix within the chunk
+        excl = jnp.cumsum(onehot, axis=0) - onehot
+        local = jnp.take_along_axis(excl, bk[:, None], axis=1)[:, 0]
+        rank = base[bk] + local
+        return base + onehot.sum(axis=0), rank
+
+    total, ranks = jax.lax.scan(chunk_scan, jnp.zeros(B, jnp.int32), bch)
+    offsets = jnp.cumsum(total) - total  # exclusive bucket offsets [B]
+    pos = offsets[bucket] + ranks.reshape(Npad)  # position of each ray
+    pos = pos[:N]
+    perm = jnp.zeros(N, jnp.int32).at[pos].set(
+        jnp.arange(N, dtype=jnp.int32))
+    return perm, pos  # pos IS the inverse permutation
+
+
 def _coherence_perm(scene: Scene, ro, rd):
     """(perm, inv): ascending (direction, origin-Morton) ray order and its
     inverse. Scene bounds come from the BVH root's child boxes (padding
@@ -260,6 +310,8 @@ def _coherence_perm(scene: Scene, ro, rd):
         ).astype(jnp.int32)
         key = (key << (3 * db)) | _morton8(dq)
     key = (key << (3 * ob)) | omorton
+    if getattr(config, "SORT_MODE", "counting") == "counting":
+        return _counting_perm(key, int(getattr(config, "SORT_BITS", 10)))
     perm = jnp.argsort(key)
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype)

@@ -186,3 +186,24 @@ def test_occluded_sphere_merge_with_ray_sort(monkeypatch, rng_np):
     )
     got = np.asarray(bvh_occluded(scene, ro, rd, tmin, tmax))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_counting_perm_is_valid_stable_bucketing(rng_np):
+    """_counting_perm: a bijection whose output is bucket-sorted by the
+    top key bits with ORIGINAL order inside each bucket (stability), for
+    sizes on and off the chunk boundary."""
+    from take_tpu.geometry.traverse import _counting_perm
+
+    for N in [1 << 15, (1 << 15) + 1, 70000, 4096]:
+        key = jnp.asarray(
+            rng_np.integers(0, 1 << 27, N, dtype=np.int64), jnp.int32)
+        perm, inv = _counting_perm(key, 10)
+        p = np.asarray(perm)
+        assert sorted(p.tolist()) == list(range(N))  # bijection
+        np.testing.assert_array_equal(
+            np.asarray(inv)[p], np.arange(N))  # inverse
+        b = np.asarray(key)[p] >> 17
+        assert (np.diff(b) >= 0).all()  # bucket-sorted
+        # stability: original indices ascend within equal buckets
+        same = np.diff(b) == 0
+        assert (np.diff(p)[same] > 0).all()
