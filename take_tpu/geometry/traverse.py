@@ -495,6 +495,17 @@ def bvh_intersect(scene: Scene, ro, rd, tmin, tmax) -> Hit:
     )
 
 
+# Analytic spheres deliberately bypass the BVH on every query: each BVH
+# backend handles triangles only, and bvh_intersect/bvh_occluded merge a
+# dense [N, n_sph] quadratic test afterward (_sph_t). This is exact and
+# near-free at the scene sizes the reference targets (its own scenes carry
+# <= 2 spheres; a dense [N, S] sweep is one fused VPU pass), but it is an
+# O(n_sph) PER-RAY tax: at ~1k+ spheres the sweep would rival the BVH
+# itself. Ceiling documented per VERDICT r3; folding spheres into leaf
+# runs (as synthetic AABBs with a tag bit in the prim id) is the upgrade
+# path if a sphere-heavy workload ever appears.
+
+
 def bvh_occluded(scene: Scene, ro, rd, tmin, tmax):
     from take_tpu.geometry.intersect import _sph_t
 
