@@ -207,3 +207,42 @@ def test_counting_perm_is_valid_stable_bucketing(rng_np):
         # stability: original indices ascend within equal buckets
         same = np.diff(b) == 0
         assert (np.diff(p)[same] > 0).all()
+
+
+def test_occluded_with_counting_sort_mode(monkeypatch, rng_np):
+    """The counting-sort permutation slots into the kernel ray-binning
+    path (SORT_MODE="counting") with identical results — correctness is
+    permutation-independent by the tie-break design."""
+    import functools
+
+    from take_tpu import config
+    from take_tpu.geometry import pallas_cluster, traverse
+
+    b = SceneBuilder()
+    b.camera = Camera(8, 8, (0, 0, 30), (0, 0, 0), (0, 1, 0), 45.0)
+    m = b.add_material(MAT_DIFFUSE)
+    rng = np.random.default_rng(11)
+    for c in rng.uniform(-10, 10, (64, 3)):
+        v = c + rng.uniform(-0.8, 0.8, (3, 3))
+        b.add_mesh(v, np.array([[0, 1, 2]]), m)
+    scene = b.build(build_bvh=True)
+
+    N = traverse._SORT_MIN_RAYS
+    ro = jnp.asarray(rng.uniform(-12, 12, (N, 3)), jnp.float32)
+    d = rng.normal(size=(N, 3))
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
+                     jnp.float32)
+    tmin = jnp.full(N, 1e-4)
+    tmax = jnp.full(N, jnp.inf)
+
+    *_, found_ref = traverse._traverse(scene, ro, rd, tmin, tmax,
+                                       any_hit=True)
+    monkeypatch.setattr(config, "SORT_MODE", "counting")
+    monkeypatch.setattr(config, "FORCE_CLUSTER", True)
+    monkeypatch.setattr(traverse, "_cluster_eligible", lambda s: True)
+    monkeypatch.setattr(
+        pallas_cluster, "cluster_traverse",
+        functools.partial(pallas_cluster.cluster_traverse, interpret=True),
+    )
+    got = np.asarray(traverse.bvh_occluded(scene, ro, rd, tmin, tmax))
+    np.testing.assert_array_equal(got, np.asarray(found_ref))
