@@ -154,9 +154,19 @@ def main():
     band = 1 << 18
     n_pix_hd = 1920 * 1080
     target = jnp.zeros((band, 3))
+
+    @jax.jit
+    def tree_sqnorm(g):
+        # ONE device value per band: per-leaf float() conversions cost a
+        # tunnel roundtrip EACH (~50-100 ms; they dominated the round-3
+        # 15.8 s number — the actual band compute is ~120 ms)
+        return sum(jnp.sum(x * x) for x in jtu.tree_leaves(g)
+                   if hasattr(x, "dtype") and x.dtype == jnp.float32)
+
     # warmup/compile one band
-    render_loss_grad(scene_hd, gopts, jnp.arange(band, dtype=jnp.int32),
-                     target, 1)
+    l0, g0 = render_loss_grad(scene_hd, gopts,
+                              jnp.arange(band, dtype=jnp.int32), target, 1)
+    float(tree_sqnorm(g0))
     t0 = time.time()
     gnorm = 0.0
     for lo in range(0, n_pix_hd, band):
@@ -166,10 +176,7 @@ def main():
                 [pixb, jnp.zeros(band - pixb.shape[0], jnp.int32)]
             )
         loss, g = render_loss_grad(scene_hd, gopts, pixb, target, 1)
-        gnorm += float(
-            sum(jnp.sum(x * x) for x in jtu.tree_leaves(g)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32)
-        )
+        gnorm += float(tree_sqnorm(g))
     grad_dt = time.time() - t0
     n_bands = -(-n_pix_hd // band)
     grad_paths = n_bands * band
@@ -193,7 +200,7 @@ def main():
     if scaling is not None:
         record.update(
             {k: v for k, v in scaling.items() if k.startswith((
-                "weak_scaling", "contention", "distribution"))}
+                "weak_scaling", "contention", "distribution", "calibration"))}
         )
     if scaling_err is not None:
         record["weak_scaling_error"] = scaling_err

@@ -56,11 +56,15 @@ PACKET_BLOCK = 256
 # 0 = octant only.
 SORT_DIR_BITS = 0
 
-# Binning permutation construction: "counting" = stable counting sort by
-# the top SORT_BITS of the key (a few ms; block coherence only needs
-# buckets); "argsort" = full 27-bit comparator sort (38-42 ms per 2^18
-# rays on-chip, round-4 measurement). Trace-time switch.
-SORT_MODE = "argsort"  # flip to "counting" pending on-chip A/B
+# Binning permutation construction. NEGATIVE RESULT (round 4,
+# benchmarks/sort_ab.py): "counting" (stable counting sort by the top
+# SORT_BITS) measured 55 ms vs argsort's 33 ms for build+apply+invert on
+# the chip (the chunked cumsum/scatter lower poorly), AND the coarse
+# 10-bit buckets lose the fine origin-Morton order inside blocks — room
+# d6 pass 1584 ms vs 1002 ms. Full "argsort" stays the default; the
+# counting path is kept property-tested for future revisits (more bits /
+# a Pallas histogram would change both numbers).
+SORT_MODE = "argsort"
 SORT_BITS = 10
 
 # Two-phase closest-hit for BVH scenes (geometry/traverse.py): phase 1 caps
