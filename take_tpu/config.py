@@ -89,10 +89,21 @@ WAVE_SIZE = 1 << 16
 # but on room bounce waves it converges to the same ~0.5-1 us per
 # block-divergent work unit as the packet kernel (166 ms vs packet's 94 ms
 # on the b2 wave) — the per-sweep VPU volume floor, not the tree, is the
-# bottleneck. Kept as a tested alternate backend; FORCE_SWEEP routes BVH
-# scenes through it for experiments.
-PALLAS_SWEEP = True
+# bottleneck. Kept as a tested alternate backend; FORCE_SWEEP (the only
+# switch — there is no separate enable flag) routes BVH scenes through it
+# for experiments.
 FORCE_SWEEP = False
+
+# Per-pass path cap for BVH scenes in the render drivers. Rounds 2-3 saw
+# sporadic TPU-runtime INVALID_ARGUMENT at ~1M-path packet passes that can
+# poison the whole client process and wedge the axon tunnel for 30+ min;
+# round 4's subprocess-isolated bisection could NOT reproduce it at
+# 2^18/2^19/2^20 (benchmarks/bisect_invalidarg.py), but 3 clean reps of a
+# sporadic failure are thin evidence (ADVICE r4), so the DEFAULT stays at
+# the battle-tested 2^18 and the 2^20 fast path is an explicit opt-in for
+# harnesses that can afford a crash (resumable/parity-optional runs set
+# config.BVH_PASS_CAP = 1 << 20; room d6 measured 4.52 vs ~3.6 Mrays/s).
+BVH_PASS_CAP = 1 << 18
 
 
 def checks_enabled() -> bool:

@@ -310,8 +310,8 @@ def _coherence_perm(scene: Scene, ro, rd):
         ).astype(jnp.int32)
         key = (key << (3 * db)) | _morton8(dq)
     key = (key << (3 * ob)) | omorton
-    if getattr(config, "SORT_MODE", "counting") == "counting":
-        return _counting_perm(key, int(getattr(config, "SORT_BITS", 10)))
+    if config.SORT_MODE == "counting":  # opt-in experiment; default argsort
+        return _counting_perm(key, int(config.SORT_BITS))
     perm = jnp.argsort(key)
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype)

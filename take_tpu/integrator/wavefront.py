@@ -104,7 +104,10 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
         jnp.zeros((Q, 3)),  # R
         jnp.int32(Q),  # next unstarted path
         jnp.zeros((P + 1, 3)),  # out (+1 dump row)
-        jnp.zeros(2, jnp.int64) if with_counts else jnp.zeros(0),  # counts
+        # int32 deliberately (x64 is off, int64 would silently downgrade
+        # anyway — ADVICE r4): exact up to 2^31 queries, ~16x the largest
+        # bench wave; the return path below guards against wraparound.
+        jnp.zeros(2, jnp.int32) if with_counts else jnp.zeros(0),  # counts
     )
 
     def cond(carry):
@@ -177,10 +180,10 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
         nextv = jnp.where(refill, 0, nextv + 1)
 
         if with_counts:
-            live = jnp.sum(occ.astype(jnp.int64))
-            shadow = jnp.sum((cont & ~specn).astype(jnp.int64))
+            live = jnp.sum(occ.astype(jnp.int32))
+            shadow = jnp.sum((cont & ~specn).astype(jnp.int32))
             counts = counts + jnp.stack(
-                [jnp.int64(2 * Q), live + shadow]
+                [jnp.int32(2 * Q), live + shadow]
             )
         return (lane_path, occ, shi, slo, nextv, pend_ro, pend_rd,
                 prev_pos, FG, bpdf, spec, sok, c1, T, R, nxt, out, counts)
@@ -188,5 +191,11 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
     carry = jax.lax.while_loop(cond, body, carry)
     out = carry[16][:P]
     if with_counts:
-        return out, carry[17][0], carry[17][1]
+        # wraparound guard for the int32 accumulators: a negative count
+        # poisons the honesty metric silently, so saturate to -1 (callers
+        # treat it as "overflowed, remeasure with a smaller wave").
+        nominal, active = carry[17][0], carry[17][1]
+        bad = (nominal < 0) | (active < 0)
+        return (out, jnp.where(bad, -1, nominal),
+                jnp.where(bad, -1, active))
     return out

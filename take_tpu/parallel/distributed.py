@@ -120,11 +120,13 @@ def render_image_multihost(
     )
     scene_g = _replicate_global(scene, mesh)
 
-    # same per-device pass cap as render_image (see the bisection note
-    # there: raised to 2^20 in round 4 with the retry net kept)
+    # same per-device pass cap as render_image (config.BVH_PASS_CAP; see
+    # the risk note there)
+    from take_tpu import config as _config
+
     max_pass = options.max_rays_per_pass
     if scene.bvh is not None:
-        max_pass = min(max_pass, 1 << 20)
+        max_pass = min(max_pass, _config.BVH_PASS_CAP)
     k = max(1, min(options.spp, max_pass * n_dev // max(n_pad, 1)))
     import time as _time
 
@@ -138,8 +140,13 @@ def render_image_multihost(
         if scene.bvh is not None or stats is not None:
             # sync per pass on the risky path (mirrors render_image's
             # policy; retries are estimator-exact but need jax.distributed
-            # coordination, so multihost just fails fast with a sync point)
-            out = jax.block_until_ready(out)
+            # coordination, so multihost just fails fast with a sync
+            # point). block_until_ready is a NO-OP through the axon TPU
+            # tunnel (round 4, BASELINE.md), so force materialization by
+            # fetching one element of each local shard — a cheap real
+            # barrier on every backend, no collectives added.
+            for _sh in out.addressable_shards:
+                np.asarray(_sh.data[:1, :1])
         t_pass += _time.perf_counter() - t0
         acc = out if acc is None else acc + out
         s += ns

@@ -140,16 +140,15 @@ def render_image(scene: Scene, options: RenderOptions = RenderOptions(),
     n_pixels = W * H
 
     # pass shape: row-band of pixels x k samples, k * band <= max_rays_per_pass.
-    # BVH passes are capped at 2^20 paths: ~1M-path packet passes hit
-    # sporadic TPU-runtime InvalidArgument in rounds 2-3, which round 4's
-    # subprocess-isolated bisection could NOT reproduce at 2^18/2^19/2^20
-    # (benchmarks/bisect_invalidarg.py — 3 clean reps each after this
-    # round's backend-policy changes). The cap is raised from 2^18
-    # accordingly; the per-pass block/retry below stays as the safety net
-    # for whatever environmental trigger remains.
+    # BVH passes are capped at config.BVH_PASS_CAP (default 2^18; see the
+    # risk note there — harnesses opt in to 2^20). The per-pass
+    # block/retry below stays as the safety net for whatever environmental
+    # trigger remains behind the historical ~1M-path failures.
+    from take_tpu import config as _config
+
     max_pass = options.max_rays_per_pass
     if scene.bvh is not None:
-        max_pass = min(max_pass, 1 << 20)
+        max_pass = min(max_pass, _config.BVH_PASS_CAP)
     k = max(1, min(options.spp, max_pass // max(n_pixels, 1)))
     pixel_rows_per_band = max(1, max_pass // (W * k))
     acc = jnp.zeros((n_pixels, 3), jnp.float32)
@@ -160,8 +159,6 @@ def render_image(scene: Scene, options: RenderOptions = RenderOptions(),
         y2 = min(y + pixel_rows_per_band, H)
         bands.append((y, y2))
         y = y2
-
-    from take_tpu import config as _config
 
     checks = _config.checks_enabled()
     n_passes = 0
