@@ -134,7 +134,9 @@ def main():
     os.makedirs(outdir, exist_ok=True)
 
     for name, rel, res, spp, depth in CONFIGS:
-        if args.only and args.only not in name:
+        if args.only and not any(
+            tok in name for tok in args.only.split(",")
+        ):
             continue
         if name.startswith("room") and args.room_spp:
             spp = args.room_spp

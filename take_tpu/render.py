@@ -87,9 +87,20 @@ def _render_pass_jit(
     # block-preserving split of the sharded axis (no collectives). The
     # (pixel, sample) pair set and per-pixel sum order are unchanged, so
     # the estimator is identical.
-    pix = jnp.repeat(pixel_idx, n_samples,
-                     total_repeat_length=P * n_samples)  # [P * k]
-    samp = sample0 + jnp.tile(jnp.arange(n_samples, dtype=jnp.int32), P)
+    #
+    # MUST be broadcast+reshape, NOT jnp.repeat: repeat with
+    # total_repeat_length lowers via cumsum+gather, which GSPMD cannot
+    # partition over a sharded operand — it falls back to masked full-size
+    # compute + all-reduce, silently REPLICATING the entire downstream
+    # pass on every rank (2x flops/rank measured at world=2,
+    # benchmarks/scaling_probe.py, round 5 — the round-4 0.41
+    # distribution-only efficiency hole).
+    pix = jnp.broadcast_to(
+        pixel_idx[:, None], (P, n_samples)
+    ).reshape(P * n_samples)  # [P * k]
+    samp = sample0 + jnp.broadcast_to(
+        jnp.arange(n_samples, dtype=jnp.int32)[None, :], (P, n_samples)
+    ).reshape(P * n_samples)
     use_wavefront = options.integrator == "mis_wavefront" or (
         # default-driver policy (measured, benchmarks/policy_bench): the
         # lane-refill wavefront wins once dead-lane waste dominates —
