@@ -34,10 +34,15 @@ def render_radiance(scene: Scene, options: RenderOptions, pixel_idx, sample0,
     """
     cam = scene.meta.camera
     P = pixel_idx.shape[0]
-    # pixel-major flattening: shard-friendly (see render._render_pass_jit)
-    pix = jnp.repeat(pixel_idx, n_samples,
-                     total_repeat_length=P * n_samples)
-    samp = sample0 + jnp.tile(jnp.arange(n_samples, dtype=jnp.int32), P)
+    # pixel-major flattening via broadcast+reshape: block-preserving under
+    # GSPMD (jnp.repeat lowers via gather and silently replicates the
+    # whole downstream program per rank — see render._render_pass_jit)
+    pix = jnp.broadcast_to(
+        pixel_idx[:, None], (P, n_samples)
+    ).reshape(P * n_samples)
+    samp = sample0 + jnp.broadcast_to(
+        jnp.arange(n_samples, dtype=jnp.int32)[None, :], (P, n_samples)
+    ).reshape(P * n_samples)
     px = (pix % cam.width).astype(jnp.float32)
     py = (pix // cam.width).astype(jnp.float32)
     streams = rng.make_stream(options.seed, pix, samp)

@@ -444,14 +444,20 @@ def trace_query_counts(scene: Scene, options: RenderOptions, ro, rd, streams):
 # Math: L = sum_i T_i c_i with T_0 = 1, T_{i+1} = T_i w_i, where (c_i, w_i)
 # come from _bounce_step. For a parameter theta:
 #   dL/dtheta = sum_i T_i dc_i/dtheta + (dw_i/dtheta) T_i S_{i+1},
-#   S_{i+1} = (L - A_{i+1}) / (T_i w_i)  (suffix radiance; A = prefix sum).
-# The division is masked where |w_i| ~ 0. KNOWN LIMITATION (inherent to
-# single-replay PRB, same as Mitsuba 3's prb integrator): when a throughput
-# factor is EXACTLY zero (e.g. a pitch-black albedo) the suffix is 0/0 and
-# the dL/dw_i term through it is dropped — the gradient of such a parameter
-# reads 0 even though the two-sided derivative is not. Everywhere else the
-# quotient is exact: tests/test_replay.py checks depth-3 cbox grads match
-# AD to 1e-5 on every parameter with nonzero throughput.
+#   S_{i+1} = sum_{j>i} (prod_{k=i+1..j} w_k) c_j  (suffix radiance).
+# The suffix is computed EXACTLY by a two-pass replay (round 5): pass 1
+# replays the bounce loop without AD, storing only the per-bounce (c_i,
+# w_i) stacks ([depth, N, 3] — two small arrays, NOT the full AD
+# residuals); a reverse scan folds them into S_{i+1}; pass 2 replays with
+# per-bounce VJPs using wbar_i = gbar * T_i * S_{i+1}. The earlier
+# single-pass form derived the suffix as the quotient (L - A_{i+1}) /
+# (T_i w_i), which is 0/0 wherever a throughput factor is exactly zero —
+# measured on room (round 5, benchmarks/room_grad_fd.py): the pitch-black
+# emitter-backing material's albedo gradient read 0 through replay while
+# AD-of-scan matched finite differences at 1e-4 (the same dropout
+# Mitsuba 3's prb integrator exhibits). The two-pass form has no quotient
+# and no mask: replay == AD to float tolerance on every parameter,
+# including zero-valued ones (tests/test_replay.py::test_black_albedo).
 # Sampled directions are DETACHED (replayed as constants), the standard
 # detached-sampling estimator: on scenes whose lobe sampling is
 # parameter-independent (diffuse/cosine — e.g. the cbox gate) this equals
@@ -515,32 +521,68 @@ def trace_mis_replay(scene, options: RenderOptions, ro, rd, streams):
 
 def _replay_fwd(scene, options, ro, rd, streams):
     L = _replay_fwd_loop(scene, options, ro, rd, streams)
-    return L, (scene, ro, rd, streams, L)
+    return L, (scene, ro, rd, streams)
 
 
 def _replay_bwd(options, res, gbar):
-    scene, ro, rd, streams, L = res
+    scene, ro, rd, streams = res
     sg = jax.lax.stop_gradient
-    scene, ro, rd, streams, L, gbar = (
-        sg(scene), sg(ro), sg(rd), sg(streams), sg(L), sg(gbar)
+    scene, ro, rd, streams, gbar = (
+        sg(scene), sg(ro), sg(rd), sg(streams), sg(gbar)
     )
+    D = options.max_depth + 1
+    N = ro.shape[0]
 
     # camera-vertex cotangent (background + first-hit emission): ONE
-    # evaluation serves the vjp, the prefix radiance A0, and the replay's
-    # initial state (has_aux keeps `state` out of differentiation)
-    A0, vjp0, state0 = jax.vjp(
+    # evaluation serves the vjp and the replay's initial state (has_aux
+    # keeps `state` out of differentiation)
+    _, vjp0, state0 = jax.vjp(
         lambda s: _camera_vertex(s, ro, rd), scene, has_aux=True
     )
     (gacc,) = vjp0(gbar)
-    A0, state0 = sg(A0), sg(state0)
+    state0 = sg(state0)
     T0 = jnp.ones_like(ro)
 
-    def cond(carry):
-        i, state, T, A, gacc = carry
-        return (i < options.max_depth + 1) & jnp.any(state[3])
+    # ---- pass 1: replay WITHOUT AD, store per-bounce (c, w) stacks ----
+    # Unreached bounces keep (c=0, w=1): the suffix recurrence below
+    # propagates the exact zero suffix through them.
+    cs0 = jnp.zeros((D, N, 3), ro.dtype)
+    ws0 = jnp.ones((D, N, 3), ro.dtype)
 
-    def body(carry):
-        i, state, T, A, gacc = carry
+    def cond1(carry):
+        i, state, cs, ws = carry
+        return (i < D) & jnp.any(state[3])
+
+    def body1(carry):
+        i, state, cs, ws = carry
+        state, c, w = _bounce_step(scene, streams, i, state)
+        cs = jax.lax.dynamic_update_index_in_dim(cs, c, i, 0)
+        ws = jax.lax.dynamic_update_index_in_dim(ws, w, i, 0)
+        return (i + 1, state, cs, ws)
+
+    _, _, cs, ws = jax.lax.while_loop(
+        cond1, body1, (jnp.uint32(0), state0, cs0, ws0)
+    )
+
+    # ---- exact suffix radiance S_{i+1} per bounce (reverse fold) ----
+    # S_D = 0; S_i = c_i + w_i * S_{i+1}; the VJP needs S_{i+1} at bounce
+    # i. No quotient: exact even where w_i == 0 (pitch-black albedo), the
+    # case the old (L - A)/w form dropped (room measurement, round 5).
+    def rev(s, cw):
+        c, w = cw
+        return c + w * s, s  # (S_i, S_{i+1})
+
+    _, S_next = jax.lax.scan(
+        rev, jnp.zeros((N, 3), ro.dtype), (cs, ws), reverse=True
+    )
+
+    # ---- pass 2: replay with per-bounce VJPs ----
+    def cond2(carry):
+        i, state, T, gacc = carry
+        return (i < D) & jnp.any(state[3])
+
+    def body2(carry):
+        i, state, T, gacc = carry
         state_d = sg(state)
 
         def local(s):
@@ -550,19 +592,17 @@ def _replay_bwd(options, res, gbar):
         (c, w), vjp, new_state = jax.vjp(local, scene, has_aux=True)
         c, w, new_state = sg(c), sg(w), sg(new_state)
 
-        A2 = A + T * c
-        Tw = T * w
-        # suffix radiance after this bounce, per channel; masked where the
-        # path carries no remaining throughput (suffix is exactly zero there)
-        live = jnp.abs(w) > 1e-30
-        wbar = gbar * jnp.where(live, (L - A2) / jnp.where(live, w, 1.0), 0.0)
+        wbar = gbar * T * jax.lax.dynamic_index_in_dim(
+            S_next, i, 0, keepdims=False
+        )
         cbar = gbar * T
         (gs,) = vjp((cbar, wbar))
-        return (i + 1, new_state, Tw, A2, _tree_add_float(gacc, gs))
+        return (i + 1, new_state, T * w, _tree_add_float(gacc, gs))
 
-    carry = (jnp.uint32(0), state0, T0, A0, gacc)
-    carry = jax.lax.while_loop(cond, body, carry)
-    gacc = carry[4]
+    carry = jax.lax.while_loop(
+        cond2, body2, (jnp.uint32(0), state0, T0, gacc)
+    )
+    gacc = carry[3]
     return (
         gacc,
         jnp.zeros_like(ro),

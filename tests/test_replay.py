@@ -2,9 +2,11 @@
 
 trace_mis_replay must be the SAME estimator as trace_mis (identical RNG
 keys, identical per-bounce math) — primal equality is bit-exact. Gradients
-come from the path-replay custom_vjp; they match AD-of-scan on every
-parameter with nonzero throughput (the zero-albedo degenerate case is a
-documented PRB limitation, see integrator/path_tracer.py).
+come from the two-pass path-replay custom_vjp; since round 5 the suffix
+radiance is computed exactly (stored per-bounce c/w stacks + reverse
+fold), so replay matches AD-of-scan on EVERY parameter, including
+exactly-zero albedos — the case the old (L - A)/w quotient dropped
+(caught by benchmarks/room_grad_fd.py on room's black emitter backing).
 """
 
 import numpy as np
@@ -57,11 +59,8 @@ def test_replay_grads_match_ad():
         allow_int=True,
     )(scene)
 
-    # the one expected difference: materials with an exactly-zero albedo
-    # (the black light material) lose their dL/dw term in replay
-    albedo = np.asarray(scene.materials.attr)[:, 7:10]
-    degenerate_rows = np.all(albedo == 0.0, axis=1)
-
+    # every parameter must match — INCLUDING the exactly-zero albedo of
+    # the black light material (exact-suffix replay, round 5)
     flat_ad = jax.tree_util.tree_leaves_with_path(g_ad)
     flat_rp = jax.tree_util.tree_leaves(g_rp)
     for (path, a), b in zip(flat_ad, flat_rp):
@@ -70,13 +69,44 @@ def test_replay_grads_match_ad():
         a = np.asarray(a)
         b = np.asarray(b)
         name = jax.tree_util.keystr(path)
-        if name == ".materials.attr":
-            a = a[~degenerate_rows]
-            b = b[~degenerate_rows]
         scale = max(np.abs(a).max(), 1.0)
         np.testing.assert_allclose(
             a, b, atol=1e-5 * scale, err_msg=f"grad mismatch in {name}"
         )
+
+
+def test_black_albedo_grad_matches_fd():
+    """The albedo gradient of an exactly-black material: nonzero (one-sided
+    FD) and identical between replay and AD. Regression for the
+    suffix-quotient dropout found at room scale (the emitter-backing
+    material read grad 0 through replay while AD matched FD)."""
+    import dataclasses
+
+    scene = cornell_box(width=8, height=8).build()
+    albedo = np.asarray(scene.materials.attr)[:, 7:10]
+    black_rows = np.where(np.all(albedo == 0.0, axis=1))[0]
+    assert black_rows.size, "cornell box must carry a black light material"
+    m = int(black_rows[0])
+    pix = jnp.arange(64, dtype=jnp.int32)
+    opts = RenderOptions(spp=1, max_depth=3, seed=2)
+
+    def f(d, mode):
+        o = dataclasses.replace(opts, grad_mode=mode)
+        attr = scene.materials.attr.at[m, 7:10].add(d)
+        s = dataclasses.replace(
+            scene,
+            materials=dataclasses.replace(scene.materials, attr=attr),
+        )
+        return render_radiance(s, o, pix, jnp.int32(0), 64).mean()
+
+    g_rp = float(jax.grad(lambda d: f(d, "replay"))(jnp.float32(0.0)))
+    g_ad = float(jax.grad(lambda d: f(d, "ad"))(jnp.float32(0.0)))
+    np.testing.assert_allclose(g_rp, g_ad, rtol=1e-4, atol=1e-7)
+    # one-sided FD (albedo cannot go negative) with common random numbers
+    eps = 2e-2
+    fd = (float(f(jnp.float32(eps), "ad")) - float(f(0.0, "ad"))) / eps
+    assert abs(fd) > 1e-5, "black albedo must be visible in this scene"
+    np.testing.assert_allclose(g_ad, fd, rtol=0.08, atol=1e-5)
 
 
 def test_replay_via_render_radiance():
