@@ -77,35 +77,66 @@ def _prologue(tri_ot_ref, tri_dt_ref, ro_ref, rd_ref, tmin_ref, tmax_ref):
 def _closest_kernel(tri_ot_ref, tri_dt_ref, attr_t_ref,
                     ro_ref, rd_ref, tmin_ref, tmax_ref,
                     attr_out, aux_out):
-    t, u, v, ok = _prologue(
-        tri_ot_ref, tri_dt_ref, ro_ref, rd_ref, tmin_ref, tmax_ref
-    )
-    T, B = t.shape
-    t_m = jnp.where(ok, t, _BIG)
-    best = jnp.argmin(t_m, axis=0)  # [B]
-    tbest = jnp.min(t_m, axis=0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
-    onehot = (lane == best[None, :]).astype(jnp.float32)
-    # winner attribute row: [A, T] @ [T, B]. HIGHEST is required — a bf16
-    # pass would round ids/flags stored as f32 columns.
-    attr_out[0] = jnp.dot(attr_t_ref[:], onehot,
-                          preferred_element_type=jnp.float32, precision=_HI)
-    found = tbest < _BIG
-    aux_out[0, 0, :] = jnp.where(found, tbest, _BIG)
-    aux_out[0, 1, :] = jnp.sum(u * onehot, axis=0)
-    aux_out[0, 2, :] = jnp.sum(v * onehot, axis=0)
-    aux_out[0, 3, :] = found.astype(jnp.float32)
-    aux_out[0, 4:8, :] = jnp.zeros((4, B), jnp.float32)
+    # DEAD-BLOCK SKIP: the scan driver marks terminated lanes with
+    # tmax = -BIG, and pixel-major flattening makes deaths spatially
+    # coherent, so whole ray blocks go dead in late bounces (cbox d4:
+    # ~35% of launched queries are on dead lanes, BENCH_r04
+    # active_fraction). A block with no live interval can produce only
+    # misses — emit them without the [T, B] sweep. Downstream consumers
+    # mask everything by Hit.valid, so the (different) garbage attrs on
+    # skipped lanes never reach radiance (test_pallas_brute asserts
+    # image-level bit-equality against the XLA path).
+    B = ro_ref.shape[2]
+    any_live = jnp.max(tmax_ref[0]) > 0.0
+
+    @pl.when(any_live)
+    def _sweep():
+        t, u, v, ok = _prologue(
+            tri_ot_ref, tri_dt_ref, ro_ref, rd_ref, tmin_ref, tmax_ref
+        )
+        T, _ = t.shape
+        t_m = jnp.where(ok, t, _BIG)
+        best = jnp.argmin(t_m, axis=0)  # [B]
+        tbest = jnp.min(t_m, axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
+        onehot = (lane == best[None, :]).astype(jnp.float32)
+        # winner attribute row: [A, T] @ [T, B]. HIGHEST is required — a
+        # bf16 pass would round ids/flags stored as f32 columns.
+        attr_out[0] = jnp.dot(
+            attr_t_ref[:], onehot,
+            preferred_element_type=jnp.float32, precision=_HI)
+        found = tbest < _BIG
+        aux_out[0, 0, :] = jnp.where(found, tbest, _BIG)
+        aux_out[0, 1, :] = jnp.sum(u * onehot, axis=0)
+        aux_out[0, 2, :] = jnp.sum(v * onehot, axis=0)
+        aux_out[0, 3, :] = found.astype(jnp.float32)
+        aux_out[0, 4:8, :] = jnp.zeros((4, B), jnp.float32)
+
+    @pl.when(~any_live)
+    def _all_dead():
+        attr_out[0] = jnp.zeros_like(attr_out[0])
+        aux_out[0] = jnp.zeros_like(aux_out[0])
+        aux_out[0, 0, :] = jnp.full((B,), _BIG, jnp.float32)
 
 
 def _anyhit_kernel(tri_ot_ref, tri_dt_ref,
                    ro_ref, rd_ref, tmin_ref, tmax_ref, occ_out):
-    _, _, _, ok = _prologue(
-        tri_ot_ref, tri_dt_ref, ro_ref, rd_ref, tmin_ref, tmax_ref
-    )
-    B = ok.shape[1]
-    occ_out[0, 0, :] = jnp.any(ok, axis=0).astype(jnp.float32)
-    occ_out[0, 1:8, :] = jnp.zeros((7, B), jnp.float32)
+    # same dead-block skip as the closest-hit kernel: NEE marks dead /
+    # specular / zero-contribution lanes with tmax = -BIG
+    any_live = jnp.max(tmax_ref[0]) > 0.0
+
+    @pl.when(any_live)
+    def _sweep():
+        _, _, _, ok = _prologue(
+            tri_ot_ref, tri_dt_ref, ro_ref, rd_ref, tmin_ref, tmax_ref
+        )
+        B = ok.shape[1]
+        occ_out[0, 0, :] = jnp.any(ok, axis=0).astype(jnp.float32)
+        occ_out[0, 1:8, :] = jnp.zeros((7, B), jnp.float32)
+
+    @pl.when(~any_live)
+    def _all_dead():
+        occ_out[0] = jnp.zeros_like(occ_out[0])
 
 
 def _block_rays(ro, rd, tmin, tmax):
