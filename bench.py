@@ -68,6 +68,7 @@ def main():
     pix = jnp.arange(res * res, dtype=jnp.int32)
     frac_num = 0
     frac_den = 0
+    swept_num = 0
     for s in range(2):
         streams = rng_mod.make_stream(0, pix, jnp.full_like(pix, s))
         jx = rng_mod.uniform(
@@ -77,12 +78,17 @@ def main():
         px = (pix % res).astype(jnp.float32)
         py = (pix // res).astype(jnp.float32)
         ro, rd = generate_rays(scene.meta.camera, px, py, jx, jy)
-        nom, act = jax.jit(
+        nom, act, swp = jax.jit(
             trace_query_counts, static_argnames=("options",)
         )(scene, options, ro, rd, streams)
         frac_num += int(act)
         frac_den += int(nom)
+        swept_num += int(swp)
     active_fraction = frac_num / max(frac_den, 1)
+    # block-level fraction the kernels actually sweep after the round-5
+    # dead-block skip — the cost-weighted analog of active_fraction under
+    # lockstep execution (a launched-but-skipped block costs ~nothing)
+    swept_fraction = swept_num / max(frac_den, 1)
 
     # deep-path occupancy (VERDICT r3 #2): the lane-refill wavefront driver
     # at the CLI-parity -max_depth 50. P/Q = 64 keeps the un-refillable
@@ -188,6 +194,7 @@ def main():
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 100.0, 4),
         "active_fraction": round(active_fraction, 4),
+        "swept_fraction": round(swept_fraction, 4),
         "active_mrays": round(mrays * active_fraction, 3),
         "grad_1080p_seconds": round(grad_dt, 3),
         "grad_1080p_mrays": round(grad_rays / grad_dt / 1e6, 3),

@@ -42,8 +42,8 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--target-spp", type=int, default=512)
     args = ap.parse_args()
@@ -63,27 +63,34 @@ def main():
     base = cornell_box(args.res, args.res).build()
     pix = jnp.arange(args.res * args.res, dtype=jnp.int32)
 
+    # albedos live on a sigmoid: jnp.clip would zero the gradient the
+    # moment Adam overshoots past a bound, permanently freezing weak-signal
+    # channels (measured: the red wall's blue channel stuck at -0.06)
+    def logit(x):
+        x = np.clip(np.asarray(x, np.float64), 1e-4, 1 - 1e-4)
+        return jnp.asarray(np.log(x / (1 - x)), jnp.float32)
+
     true_params = {
-        "wall_rgb": jnp.asarray([0.75, 0.15, 0.12]),
-        "floor_rgb": jnp.asarray([0.5, 0.62, 0.4]),
+        "wall_rgb": logit([0.75, 0.15, 0.12]),
+        "floor_rgb": logit([0.5, 0.62, 0.4]),
         "log_light": jnp.float32(np.log(1.7)),
     }
     init_params = {
-        "wall_rgb": jnp.asarray([0.5, 0.5, 0.5]),
-        "floor_rgb": jnp.asarray([0.5, 0.5, 0.5]),
+        "wall_rgb": logit([0.5, 0.5, 0.5]),
+        "floor_rgb": logit([0.5, 0.5, 0.5]),
         "log_light": jnp.float32(np.log(0.5)),
     }
 
-    # cornell_box material ids: inspect the builder's order — left wall and
-    # floor are distinct diffuse materials (tests/scenes.py)
-    from scenes import CBOX_MAT_LEFT, CBOX_MAT_FLOOR
+    # cornell_box material ids (tests/scenes.py): the red left wall and the
+    # shared white material (floor/ceiling/back/boxes)
+    from scenes import CBOX_MAT_RED, CBOX_MAT_WHITE
 
     def apply(params):
         s = edit.with_material_reflectance(
-            base, CBOX_MAT_LEFT, jnp.clip(params["wall_rgb"], 0.0, 1.0)
+            base, CBOX_MAT_RED, jax.nn.sigmoid(params["wall_rgb"])
         )
         s = edit.with_material_reflectance(
-            s, CBOX_MAT_FLOOR, jnp.clip(params["floor_rgb"], 0.0, 1.0)
+            s, CBOX_MAT_WHITE, jax.nn.sigmoid(params["floor_rgb"])
         )
         s = edit.with_light_intensity_scale(
             s, jnp.exp(params["log_light"])
@@ -128,11 +135,15 @@ def main():
             print(f"step {i}: loss {losses[-1]:.6f}", flush=True)
     dt = time.time() - t0
 
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-np.asarray(x, np.float64)))
+
     def rel_err(name):
         t = np.asarray(true_params[name], np.float64)
         r = np.asarray(params[name], np.float64)
-        if name == "log_light":
-            t, r = np.exp(t), np.exp(r)
+        # compare in PHYSICAL space (albedo / light scale), not raw space
+        t, r = (np.exp(t), np.exp(r)) if name == "log_light" else (
+            sigmoid(t), sigmoid(r))
         return float(np.max(np.abs(r - t) / np.maximum(np.abs(t), 1e-6)))
 
     rec = {
@@ -143,11 +154,14 @@ def main():
         "loss_last": round(float(np.mean(losses[-10:])), 6),
         "loss_curve_every10": [round(l, 6) for l in losses[::10]],
         "true": {
-            k: np.asarray(v).round(4).tolist()
+            k: (np.exp(np.float64(v)) if k == "log_light"
+                else sigmoid(v)).round(4).tolist()
             for k, v in true_params.items()
         },
         "recovered": {
-            k: np.asarray(v).round(4).tolist() for k, v in params.items()
+            k: (np.exp(np.float64(v)) if k == "log_light"
+                else sigmoid(v)).round(4).tolist()
+            for k, v in params.items()
         },
         "max_rel_err": {
             k: round(rel_err(k), 4) for k in true_params

@@ -396,35 +396,50 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
 def trace_query_counts(scene: Scene, options: RenderOptions, ro, rd, streams):
     """Scene-query accounting for a batch of camera rays (bench honesty).
 
-    Returns (nominal, active) scalar query counts for this batch:
+    Returns (nominal, active, swept) scalar query counts for this batch:
       nominal = what the fixed-trip scan actually launches
                (1 camera intersect + per trip: 1 shadow + 1 bounce, full
                 width — dead lanes still occupy the launch),
       active  = queries on lanes that were alive at that bounce (shadow
                 queries only count non-specular live lanes, matching the
-                reference's NEE skip, path_tracing.h:24-26).
+                reference's NEE skip, path_tracing.h:24-26),
+      swept   = lanes in blocks the kernels actually sweep after the
+                dead-block skip (pallas_brute round 5): a launched block
+                whose driver-side cull mask (`active` for bounce rays,
+                `active & ~spec` for shadow rays — the masks that set
+                tmax = -BIG) is all-dead costs ~nothing; swept counts the
+                others at full block width, mirroring lockstep cost.
     """
+    from take_tpu.geometry.pallas_brute import BLOCK
     from take_tpu.materials.bsdf import is_specular, make_shade_point
 
     N = ro.shape[0]
+    npad = -(-N // BLOCK) * BLOCK
+
+    def blocks_swept(mask):
+        m = jnp.zeros(npad, bool).at[:N].set(mask)
+        per_block = jnp.any(m.reshape(npad // BLOCK, BLOCK), axis=1)
+        return jnp.sum(per_block.astype(jnp.int32)) * BLOCK
+
     _, state = _camera_vertex(scene, ro, rd)
 
     def bounce(carry, i):
-        state, nq, aq = carry
+        state, nq, aq, sq = carry
         _, _, hit, active = state
         spec = is_specular(make_shade_point(scene, hit))
         live = jnp.sum(active.astype(jnp.int32))
         shadow = jnp.sum((active & ~spec).astype(jnp.int32))
+        sq = sq + blocks_swept(active) + blocks_swept(active & ~spec)
         state, _, _ = _bounce_step(scene, streams, i, state)
-        return (state, nq + 2 * N, aq + live + shadow), None
+        return (state, nq + 2 * N, aq + live + shadow, sq), None
 
     # int32 is safe: callers batch <= 2^20 paths * <= 51 trips * 2 < 2^31;
     # cross-batch accumulation happens on host in Python ints
-    init = (state, jnp.int32(N), jnp.int32(N))
-    (state, nominal, active), _ = jax.lax.scan(
+    init = (state, jnp.int32(N), jnp.int32(N), jnp.int32(N))
+    (state, nominal, active, swept), _ = jax.lax.scan(
         bounce, init, jnp.arange(options.max_depth + 1, dtype=jnp.uint32)
     )
-    return nominal, active
+    return nominal, active, swept
 
 # ---------------------------------------------------------------------------
 # Early-exit + path-replay driver

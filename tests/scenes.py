@@ -18,6 +18,13 @@ def quad(p0, p1, p2, p3):
     return positions, indices
 
 
+# material ids assigned by cornell_box's builder, in add_material order
+# (white is shared by floor/ceiling/back/boxes when mirror=False)
+CBOX_MAT_WHITE = 0
+CBOX_MAT_RED = 1
+CBOX_MAT_GREEN = 2
+
+
 def cornell_box(width=64, height=64, light_scale=1.0, mirror=False):
     """A self-contained Cornell box: 5 diffuse walls + area light + 2 boxes.
 
