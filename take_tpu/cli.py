@@ -20,6 +20,11 @@ def main(argv=None):
     ap.add_argument("-spp", type=int, default=None, help="override sampler spp")
     ap.add_argument("-seed", type=int, default=0)
     ap.add_argument(
+        "-rr_depth", type=int, default=-1,
+        help="Russian roulette from this bounce (unbiased; -1 = off, the "
+        "reference-parity default)",
+    )
+    ap.add_argument(
         "-integrator", default="mis",
         choices=["mis", "mis_replay", "one_sample_mis",
                  "one_sample_mis_power", "raw"]
@@ -55,6 +60,7 @@ def main(argv=None):
         max_depth=args.max_depth,
         integrator=args.integrator,
         seed=args.seed,
+        rr_depth=args.rr_depth,
     )
     print("Rendering...")
     t0 = time.time()

@@ -97,7 +97,7 @@ DIM_BSDF_U2 = 5
 DIM_MIS_TECH = 6       # one-sample MIS technique selection
 DIM_AUX = 7            # glass reflect/refract pick inside composite lobes
 DIM_ENV_U3 = 8         # env-map alias-table jitter
-DIM_RESERVED = 9
+DIM_RR = 9           # Russian-roulette survival draw (off unless rr_depth >= 0)
 
 # Camera jitter uses bounce slot -1 (i.e. counters 0..DIMS_PER_BOUNCE-1 are
 # reserved by using bounce+1 in bounce_counter).

@@ -145,8 +145,48 @@ def _vertex_nee(scene: Scene, streams, i, hit, sp, spec, active, ro, rd):
         # offset off the surface to avoid f32 self-shadowing. Lanes whose
         # NEE result is unused (dead or specular, path_tracing.h:24-26) get
         # tmax = -BIG: traversal culls them at the first box test.
+        #
+        # STRUCTURALLY-ZERO lanes are culled the same way (round 5,
+        # benchmarks/shadow_cost.py — occlusion is 27.6% of a room pass):
+        #  (a) geometric backface for statically reflective tags — the
+        #      _backface_zero eval preamble makes FG identically 0 there
+        #      for EVERY parameter value, so value and derivative are both
+        #      unchanged (transmissive Disney glass/BSDF excluded; culling
+        #      on a parameter-dependent zero like FG == 0 would re-drop
+        #      the black-albedo gradients the exact replay just fixed);
+        #  (b) light backface (cos_l <= 0) — the `ok` mask below zeroes
+        #      the term regardless of occlusion; positions are detached.
+        from take_tpu.scene.types import (
+            MAT_DISNEY_BSDF,
+            MAT_DISNEY_CLEARCOAT,
+            MAT_DISNEY_GLASS,
+            MAT_DISNEY_METAL,
+            MAT_DISNEY_SHEEN,
+        )
+
+        transmissive = (sp.tag == MAT_DISNEY_GLASS) | (
+            sp.tag == MAT_DISNEY_BSDF
+        )
+        # metal/sheen/clearcoat evals zero on geo_n.dir_out < 0 but NOT on
+        # an arrival-side backface (their frame flips toward dir_in), so
+        # the arrival-backface half applies only to _backface_zero tags
+        full_refl = (
+            (sp.tag == MAT_DISNEY_METAL)
+            | (sp.tag == MAT_DISNEY_CLEARCOAT)
+            | (sp.tag == MAT_DISNEY_SHEEN)
+        )
+        light_back = dot(sp.geo_n, light_dir) < 0.0
+        arr_back = dot(sp.geo_n, dir_in) < 0.0
+        zero_contrib = (~transmissive) & (
+            light_back | (arr_back & ~full_refl)
+        )
+        if n_lights > 0 and scene.meta.has_area_lights:
+            zero_contrib = zero_contrib | (
+                (~is_env) & ls.is_area
+                & (dot(-ls.normal, light_dir) <= 0.0)
+            )
         shadow_o = offset_origin(hit.pos, hit.geo_n, light_dir)
-        nee_live = active & ~spec
+        nee_live = active & ~spec & ~zero_contrib
         shadow_occ = occluded(
             scene, shadow_o, light_dir, jnp.full(N, eps),
             jnp.where(nee_live, tmax_shadow, -3.4e38),
@@ -363,6 +403,34 @@ def _bounce_step(scene: Scene, streams, i, state):
     return (ro_n, rd_n, hit_n, new_active), c, w
 
 
+def rr_step(options: RenderOptions, streams, i, state, c, w, T):
+    """Russian roulette applied AFTER a bounce's contributions (unbiased).
+
+    At bounce i >= options.rr_depth each live lane survives with
+    p = clamp(max-channel of accumulated throughput T*w, 0.05, 1); the
+    survivor's w is scaled by 1/p, killed lanes are deactivated (their
+    future c == 0 / w == 1 under the _bounce_step dead-lane contract, so
+    every driver's accumulation stays exact). p is DETACHED (the standard
+    prb convention — the survival probability is an estimator choice, not
+    a differentiated quantity). `i` may be a scalar or per-lane array;
+    the survival draw uses the counter-based stream, so the scan, replay
+    (both passes), and wavefront drivers kill the same paths bit-for-bit.
+    Off (identity) when rr_depth < 0 — the reference default.
+    """
+    if options.rr_depth < 0:
+        return state, c, w
+    sg = jax.lax.stop_gradient
+    ro_, rd_, hit_, active_ = state
+    u = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_RR))
+    p = jnp.clip(jnp.max(sg(T) * sg(w), axis=-1), 0.05, 1.0)
+    apply = jnp.asarray(i).astype(jnp.int32) >= options.rr_depth
+    survive = (~apply) | (u < p)
+    w = w * jnp.where(
+        apply & survive & active_, 1.0 / p, 1.0
+    )[:, None]
+    return (ro_, rd_, hit_, active_ & survive), c, w
+
+
 def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
     """Trace a batch of camera rays to radiance with multi-sample MIS.
 
@@ -383,6 +451,7 @@ def trace_mis(scene: Scene, options: RenderOptions, ro, rd, streams):
     def bounce(carry, i):
         state, T, R = carry
         state, c, w = _bounce_step(scene, streams, i, state)
+        state, c, w = rr_step(options, streams, i, state, c, w, T)
         return (state, T * w, R + T * c), None
 
     (state, throughput, radiance), _ = jax.lax.scan(
@@ -516,6 +585,7 @@ def _replay_fwd_loop(scene, options, ro, rd, streams):
     def body(carry):
         i, state, T, R = carry
         state, c, w = _bounce_step(scene, streams, i, state)
+        state, c, w = rr_step(options, streams, i, state, c, w, T)
         return (i + 1, state, T * w, R + T * c)
 
     carry = (jnp.uint32(0), state, throughput, radiance)
@@ -565,18 +635,19 @@ def _replay_bwd(options, res, gbar):
     ws0 = jnp.ones((D, N, 3), ro.dtype)
 
     def cond1(carry):
-        i, state, cs, ws = carry
+        i, state, T, cs, ws = carry
         return (i < D) & jnp.any(state[3])
 
     def body1(carry):
-        i, state, cs, ws = carry
+        i, state, T, cs, ws = carry
         state, c, w = _bounce_step(scene, streams, i, state)
+        state, c, w = rr_step(options, streams, i, state, c, w, T)
         cs = jax.lax.dynamic_update_index_in_dim(cs, c, i, 0)
         ws = jax.lax.dynamic_update_index_in_dim(ws, w, i, 0)
-        return (i + 1, state, cs, ws)
+        return (i + 1, state, T * w, cs, ws)
 
-    _, _, cs, ws = jax.lax.while_loop(
-        cond1, body1, (jnp.uint32(0), state0, cs0, ws0)
+    _, _, _, cs, ws = jax.lax.while_loop(
+        cond1, body1, (jnp.uint32(0), state0, T0, cs0, ws0)
     )
 
     # ---- exact suffix radiance S_{i+1} per bounce (reverse fold) ----
@@ -599,9 +670,16 @@ def _replay_bwd(options, res, gbar):
     def body2(carry):
         i, state, T, gacc = carry
         state_d = sg(state)
+        T_d = sg(T)
 
         def local(s):
             new_state, c, w = _bounce_step(s, streams, i, state_d)
+            # rr_step detaches its survival probability internally, so
+            # including it here keeps the vjp chain and the stored w
+            # stacks consistent with the forward loop
+            new_state, c, w = rr_step(
+                options, streams, i, new_state, c, w, T_d
+            )
             return (c, w), new_state
 
         (c, w), vjp, new_state = jax.vjp(local, scene, has_aux=True)

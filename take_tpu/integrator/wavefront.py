@@ -132,6 +132,25 @@ def trace_wavefront(scene: Scene, options: RenderOptions, pixel_idx,
 
         cont = occ & sok & hit.valid & (nextv <= max_depth)
 
+        # Russian roulette, mirroring path_tracer.rr_step bit-for-bit: the
+        # scan kills at step i from T*w_i with counter (i, DIM_RR); here
+        # w_{i} was just applied at the arrival of vertex nextv = i+1, so
+        # the draw keys on nextv-1 (camera arrivals have nextv == 0 and
+        # are never rolled).
+        if options.rr_depth >= 0:
+            bi = nextv - 1
+            u_rr = rng.uniform(
+                (shi, slo),
+                rng.bounce_counter(bi.astype(jnp.uint32), rng.DIM_RR),
+            )
+            p = jnp.clip(
+                jnp.max(jax.lax.stop_gradient(T), axis=-1), 0.05, 1.0
+            )
+            roll = occ & (bi >= options.rr_depth)
+            survive = (~roll) | (u_rr < p)
+            T = T * jnp.where(roll & survive, 1.0 / p, 1.0)[:, None]
+            cont = cont & survive
+
         # ---- phase B: NEE + BSDF sampling at the new vertex ----
         st = (shi, slo)
         iv = nextv.astype(jnp.uint32)

@@ -252,10 +252,17 @@ class RenderOptions:
     seed: int = 0
     # Gradient strategy for render_radiance/render_loss_grad: "ad" = plain
     # reverse-mode through the scan (stores per-bounce residuals); "replay" =
-    # path-replay custom_vjp (backward memory independent of depth; drops
-    # gradient terms through exactly-zero throughput factors — see
-    # integrator/path_tracer.py replay notes).
+    # two-pass path-replay custom_vjp (backward memory O(wavefront·depth)
+    # for two small stacks instead of full AD residuals; exact on every
+    # parameter incl. zero-valued ones — integrator/path_tracer.py notes).
     grad_mode: str = "ad"
+    # Russian roulette: at bounce index >= rr_depth, paths survive with
+    # probability p = clamp(max-channel accumulated throughput, .05, 1)
+    # and are reweighted by 1/p (unbiased; survival drawn from the
+    # counter-based stream so all drivers kill identically). -1 = off —
+    # the DEFAULT, matching the reference, which has no RR
+    # (path_tracing.h:20-109); parity configs keep it off.
+    rr_depth: int = -1
     # Rays are processed in chunks of at most this many paths to bound memory.
     max_rays_per_pass: int = 1 << 20
 
