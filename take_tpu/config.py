@@ -56,6 +56,19 @@ PACKET_BLOCK = 256
 # 0 = octant only.
 SORT_DIR_BITS = 0
 
+# Reuse the NEE shadow query's coherence permutation for the same
+# bounce's closest-hit query (the origins are near-identical): halves the
+# number of argsorts per pass. Measured round 5 on room d6: each
+# _coherence_perm costs 26 ms at 2^18 rays, ~40% of the pass across 14
+# queries; reuse traded a slightly degraded bounce-query octant for 7
+# fewer sorts (A/B in BASELINE round-5 notes).
+SORT_REUSE = True
+
+# Include the 3-bit direction octant at the top of the binning key.
+# Round-3 data says origin locality dominates (finer direction bits were
+# NEGATIVE); False keys on origin Morton alone (experiment flag).
+SORT_OCTANT = True
+
 # Binning permutation construction. NEGATIVE RESULT (round 4,
 # benchmarks/sort_ab.py): "counting" (stable counting sort by the top
 # SORT_BITS) measured 55 ms vs argsort's 33 ms for build+apply+invert on

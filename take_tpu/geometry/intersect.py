@@ -163,7 +163,7 @@ def _pallas_eligible(scene: Scene) -> bool:
     )
 
 
-def intersect_scene(scene: Scene, ro, rd, tmin, tmax) -> Hit:
+def intersect_scene(scene: Scene, ro, rd, tmin, tmax, sort_perm=None) -> Hit:
     """Closest-hit query for a batch of rays.
 
     Args:
@@ -171,13 +171,15 @@ def intersect_scene(scene: Scene, ro, rd, tmin, tmax) -> Hit:
         ro, rd: [N, 3] origins / directions (rd need not be unit length —
             the reference's sphere code divides by dot(d, d)).
         tmin, tmax: [N] parametric range.
+        sort_perm: optional precomputed (perm, inv) coherence permutation
+            to reuse (BVH path only; see traverse._traverse_backend).
     Returns:
         Hit SoA with [N] leading axis.
     """
     if scene.bvh is not None:
         from take_tpu.geometry.traverse import bvh_intersect
 
-        return bvh_intersect(scene, ro, rd, tmin, tmax)
+        return bvh_intersect(scene, ro, rd, tmin, tmax, sort_perm=sort_perm)
     if _pallas_eligible(scene):
         return _brute_intersect_hybrid(scene, ro, rd, tmin, tmax)
     return _brute_force_intersect(scene, ro, rd, tmin, tmax)
@@ -414,7 +416,7 @@ def shade_sphere_hit(g, idx, ro, rd, t) -> Hit:
     )
 
 
-def occluded(scene: Scene, ro, rd, tmin, tmax):
+def occluded(scene: Scene, ro, rd, tmin, tmax, sort_perm=None):
     """Any-hit query: True where something lies in (tmin, tmax).
 
     The reference runs a full closest-hit for this (scene.cpp:49-63 ⚠); our
@@ -424,7 +426,7 @@ def occluded(scene: Scene, ro, rd, tmin, tmax):
     if scene.bvh is not None:
         from take_tpu.geometry.traverse import bvh_occluded
 
-        return bvh_occluded(scene, ro, rd, tmin, tmax)
+        return bvh_occluded(scene, ro, rd, tmin, tmax, sort_perm=sort_perm)
     g = scene.geometry
     meta = scene.meta
     occ = jnp.zeros(ro.shape[0], bool)

@@ -112,6 +112,7 @@ def _vertex_nee(scene: Scene, streams, i, hit, sp, spec, active, ro, rd):
     # The env map joins the light list as one extra uniform-selection
     # slot (capability extension: the reference has no env light).
     C1 = jnp.zeros_like(ro)
+    sort_perm = None
     if n_slots > 0:
         u_sel = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_SELECT))
         u1 = rng.uniform(streams, rng.bounce_counter(i, rng.DIM_LIGHT_U1))
@@ -187,9 +188,27 @@ def _vertex_nee(scene: Scene, streams, i, hit, sp, spec, active, ro, rd):
             )
         shadow_o = offset_origin(hit.pos, hit.geo_n, light_dir)
         nee_live = active & ~spec & ~zero_contrib
+        # shared coherence permutation: computed ONCE here from the shadow
+        # rays' true key and reused by this bounce's closest-hit query
+        # (origins are near-identical, so origin-Morton locality carries
+        # over; the argsort is 26 ms per 2^18 rays — ~40% of a room pass
+        # when every query sorts independently; round-5 measurement)
+        if (
+            scene.bvh is not None
+            and config.RAY_SORT
+            and getattr(config, "SORT_REUSE", True)
+        ):
+            from take_tpu.geometry.traverse import (
+                _SORT_MIN_RAYS,
+                _coherence_perm,
+            )
+
+            if N >= _SORT_MIN_RAYS:
+                sort_perm = _coherence_perm(scene, shadow_o, light_dir)
         shadow_occ = occluded(
             scene, shadow_o, light_dir, jnp.full(N, eps),
             jnp.where(nee_live, tmax_shadow, -3.4e38),
+            sort_perm=sort_perm,
         )
         FG = bsdf_eval(scene, sp, dir_in, light_dir)
         bp = bsdf_pdf(scene, sp, dir_in, light_dir)
@@ -236,7 +255,7 @@ def _vertex_nee(scene: Scene, streams, i, hit, sp, spec, active, ro, rd):
             ok_env = is_env & (bp > 0.0) & (env_pdf > 0.0) & (~shadow_occ)
             C1 = C1 + FG * Li_env * jnp.where(ok_env, w_env, 0.0)[:, None]
         C1 = jnp.where((spec | ~active)[:, None], 0.0, C1)
-    return C1
+    return C1, sort_perm
 
 
 def _vertex_sample(scene: Scene, streams, i, hit, sp, rd):
@@ -367,16 +386,21 @@ def _bounce_step(scene: Scene, streams, i, state):
     sp = make_shade_point(scene, hit)
     spec = is_specular(sp)
 
-    c = _vertex_nee(scene, streams, i, hit, sp, spec, active, ro, rd)
+    c, sort_perm = _vertex_nee(
+        scene, streams, i, hit, sp, spec, active, ro, rd
+    )
 
     new_ro, dir_out, FG, bpdf, sample_ok = _vertex_sample(
         scene, streams, i, hit, sp, rd
     )
     # dead lanes trace instantly-culled rays (tmax = -BIG): on BVH scenes a
-    # mostly-terminated wave stops paying full traversal per bounce
+    # mostly-terminated wave stops paying full traversal per bounce.
+    # sort_perm: the shadow query's coherence permutation, reused here —
+    # same origins, so origin-Morton locality holds (round-5 measurement)
     new_hit = intersect_scene(
         scene, new_ro, dir_out, tmin0,
         jnp.where(active & sample_ok, tmax0, -3.4e38),
+        sort_perm=sort_perm,
     )
 
     miss_term, C2_term, contrib = _arrival_contribs(
