@@ -102,15 +102,22 @@ def _render_pass_jit(
         jnp.arange(n_samples, dtype=jnp.int32)[None, :], (P, n_samples)
     ).reshape(P * n_samples)
     use_wavefront = options.integrator == "mis_wavefront" or (
-        # default-driver policy (measured, benchmarks/policy_bench): the
-        # lane-refill wavefront wins once dead-lane waste dominates —
-        # room d50 2.57 s vs 3.82 s scan — but loses at shallow depth
-        # (room d6: 1.23 vs 1.01 s) and on cheap-traversal scenes at any
-        # depth (cbox d50: 295 vs 117 ms, refill overhead > brute sweeps
-        # on dead lanes). Gate: BVH scene AND depth past the crossover.
+        # default-driver policy (measured, benchmarks/policy_bench + the
+        # round-5 ibl A/B): the lane-refill wavefront wins once dead-lane
+        # WORK dominates —
+        #  * BVH scenes at depth >= 8 (room d50 2.57 s vs 3.82 s scan);
+        #    it loses at shallow depth (room d6: 1.23 vs 1.01 s) and on
+        #    cheap-traversal scenes (cbox d50: 295 vs 117 ms, refill
+        #    overhead > brute sweeps on dead lanes);
+        #  * envmap scenes at ANY depth (round 5): per-lane cost is
+        #    dominated by envmap eval/sample/pdf, which the scan runs
+        #    full-width on dead lanes — ibl 2^20 d6 pass 1013 -> 467 ms
+        #    (d2: 470 -> 420), bit-identical output.
         options.integrator == "mis"
-        and scene.bvh is not None
-        and options.max_depth >= 8
+        and (
+            (scene.bvh is not None and options.max_depth >= 8)
+            or (scene.meta.has_envmap and options.max_depth >= 2)
+        )
     )
     if use_wavefront:
         # lane-refill driver: generates camera rays internally per refill
