@@ -131,13 +131,23 @@ print("CALIB", t1 / t2)
     return None
 
 
+def _best(fn, reps=3):
+    """Min wall time over reps: this 2-vCPU VM sees sporadic hypervisor
+    scheduling stalls (measured round 5: the same configuration scored
+    t_2proc 12.3 / 21.5 / 15.4 s across back-to-back runs on an idle
+    host), and the synchronized cluster run is gang-scheduling sensitive —
+    the LEAST-interfered rep is the honest capability number."""
+    outs = [fn() for _ in range(reps)]
+    return min(outs, key=lambda o: o[0])
+
+
 def main():
     n = min(2, os.cpu_count())
-    t1, p1, a1 = _run(1)
-    tn, pn, an = _run(n)
+    t1, p1, a1 = _best(lambda: _run(1))
+    tn, pn, an = _best(lambda: _run(n))
     # contention control: n INDEPENDENT 1-proc renders, same core pinning,
     # zero distribution — bounds how much of the loss is the host itself
-    tc, _, _ = _run(n, independent=True)
+    tc, _, _ = _best(lambda: _run(n, independent=True))
     calib = _calibration()
     eff = t1 / tn
     eff_ctrl = t1 / tc

@@ -78,16 +78,23 @@ def _closest_kernel(tri_ot_ref, tri_dt_ref, attr_t_ref,
                     ro_ref, rd_ref, tmin_ref, tmax_ref,
                     attr_out, aux_out):
     # DEAD-BLOCK SKIP: the scan driver marks terminated lanes with
-    # tmax = -BIG, and pixel-major flattening makes deaths spatially
-    # coherent, so whole ray blocks go dead in late bounces (cbox d4:
-    # ~35% of launched queries are on dead lanes, BENCH_r04
-    # active_fraction). A block with no live interval can produce only
-    # misses — emit them without the [T, B] sweep. Downstream consumers
-    # mask everything by Hit.valid, so the (different) garbage attrs on
-    # skipped lanes never reach radiance (test_pallas_brute asserts
-    # image-level bit-equality against the XLA path).
+    # tmax = -BIG; a block with no live interval can produce only misses —
+    # emit them without the [T, B] sweep. Downstream consumers mask
+    # everything by Hit.valid, so the (different) garbage attrs on skipped
+    # lanes never reach radiance (verified bit-identical on chip).
+    # HONEST MEASUREMENT (round 5, interleaved A/B at cbox 1024^2 d4):
+    # NEUTRAL there — deaths are too scattered at 1-spp-per-pass pixel
+    # blocks (bench swept_fraction 0.965, i.e. only ~3.5% of launches sit
+    # in skippable blocks; an earlier 1.4x reading was hypervisor drift).
+    # Kept ON: free when blocks are live, and it pays exactly when deaths
+    # are block-coherent (deep renders, k-samples-per-pixel layouts).
     B = ro_ref.shape[2]
-    any_live = jnp.max(tmax_ref[0]) > 0.0
+    from take_tpu import config as _cfg
+
+    if not getattr(_cfg, "DEAD_BLOCK_SKIP", True):
+        any_live = jnp.bool_(True)  # A/B toggle (trace-time)
+    else:
+        any_live = jnp.max(tmax_ref[0]) > 0.0
 
     @pl.when(any_live)
     def _sweep():
@@ -123,7 +130,12 @@ def _anyhit_kernel(tri_ot_ref, tri_dt_ref,
                    ro_ref, rd_ref, tmin_ref, tmax_ref, occ_out):
     # same dead-block skip as the closest-hit kernel: NEE marks dead /
     # specular / zero-contribution lanes with tmax = -BIG
-    any_live = jnp.max(tmax_ref[0]) > 0.0
+    from take_tpu import config as _cfg
+
+    if not getattr(_cfg, "DEAD_BLOCK_SKIP", True):
+        any_live = jnp.bool_(True)  # A/B toggle (trace-time)
+    else:
+        any_live = jnp.max(tmax_ref[0]) > 0.0
 
     @pl.when(any_live)
     def _sweep():
