@@ -112,11 +112,21 @@ def _render_pass_jit(
         #  * envmap scenes at ANY depth (round 5): per-lane cost is
         #    dominated by envmap eval/sample/pdf, which the scan runs
         #    full-width on dead lanes — ibl 2^20 d6 pass 1013 -> 467 ms
-        #    (d2: 470 -> 420), bit-identical output.
+        #    (d2: 470 -> 420), bit-identical output;
+        #  * OPEN BVH scenes (nonzero background — the static proxy for
+        #    "paths terminate by escape") at depth >= 3 (round 5):
+        #    textured d6 421 -> 224 ms, d3 282 -> 199, bit-identical.
+        #    Room (closed interior, background 0) keeps the scan at d6
+        #    (983 vs 1026 — re-measured under round-5 code).
         options.integrator == "mis"
         and (
             (scene.bvh is not None and options.max_depth >= 8)
             or (scene.meta.has_envmap and options.max_depth >= 2)
+            or (
+                scene.bvh is not None
+                and scene.meta.has_background
+                and options.max_depth >= 3
+            )
         )
     )
     if use_wavefront:

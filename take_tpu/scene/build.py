@@ -467,6 +467,7 @@ class SceneBuilder:
             any_uv=any_uv,
             any_normals=any_normals,
             camera=self.camera,
+            has_background=bool(np.any(np.asarray(self.background) != 0.0)),
         )
 
         bvh = None

@@ -209,6 +209,9 @@ class SceneMeta:
     any_uv: bool
     any_normals: bool
     camera: Optional[Camera] = None
+    # build-time background != 0 (static driver-policy fact: open scenes
+    # terminate paths by escape, which favors the wavefront-refill driver)
+    has_background: bool = False
 
 
 @_register
