@@ -25,6 +25,40 @@ from take_tpu.integrator.path_tracer import trace_mis
 from take_tpu.scene.types import RenderOptions, Scene
 
 
+def use_wavefront_policy(scene: Scene, options: RenderOptions) -> bool:
+    """Default-driver policy: pick the lane-refill wavefront driver when
+    dead-lane WORK dominates the scan's full-width launches (measured,
+    benchmarks/policy_bench + the round-5 ibl/textured A/Bs):
+
+      * BVH scenes at depth >= 8 (room d50 2.57 s vs 3.82 s scan); the
+        refill driver loses at shallow depth on CLOSED interiors
+        (room d6: 983 vs 1026 ms under round-5 code) and on
+        cheap-traversal brute scenes (cbox d50: 295 vs 117 ms, refill
+        overhead > brute sweeps on dead lanes);
+      * envmap scenes at any depth >= 2 (round 5): per-lane cost is
+        dominated by envmap eval/sample/pdf, which the scan runs
+        full-width on dead lanes — ibl 2^20 d6 pass 1013 -> 467 ms
+        (d2: 470 -> 420), bit-identical output;
+      * OPEN BVH scenes (nonzero background, the static proxy for
+        "paths terminate by escape") at depth >= 3 (round 5): textured
+        d6 421 -> 224 ms (d3: 282 -> 199), bit-identical.
+
+    integrator="mis_wavefront" forces it; every other integrator string
+    opts out.
+    """
+    if options.integrator == "mis_wavefront":
+        return True
+    return options.integrator == "mis" and (
+        (scene.bvh is not None and options.max_depth >= 8)
+        or (scene.meta.has_envmap and options.max_depth >= 2)
+        or (
+            scene.bvh is not None
+            and scene.meta.has_background
+            and options.max_depth >= 3
+        )
+    )
+
+
 def _trace_fn(options: RenderOptions):
     if options.integrator in ("mis", "mis_scan"):
         # lax.scan driver: the default for primal rendering. Measured on the
@@ -101,35 +135,7 @@ def _render_pass_jit(
     samp = sample0 + jnp.broadcast_to(
         jnp.arange(n_samples, dtype=jnp.int32)[None, :], (P, n_samples)
     ).reshape(P * n_samples)
-    use_wavefront = options.integrator == "mis_wavefront" or (
-        # default-driver policy (measured, benchmarks/policy_bench + the
-        # round-5 ibl A/B): the lane-refill wavefront wins once dead-lane
-        # WORK dominates —
-        #  * BVH scenes at depth >= 8 (room d50 2.57 s vs 3.82 s scan);
-        #    it loses at shallow depth (room d6: 1.23 vs 1.01 s) and on
-        #    cheap-traversal scenes (cbox d50: 295 vs 117 ms, refill
-        #    overhead > brute sweeps on dead lanes);
-        #  * envmap scenes at ANY depth (round 5): per-lane cost is
-        #    dominated by envmap eval/sample/pdf, which the scan runs
-        #    full-width on dead lanes — ibl 2^20 d6 pass 1013 -> 467 ms
-        #    (d2: 470 -> 420), bit-identical output;
-        #  * OPEN BVH scenes (nonzero background — the static proxy for
-        #    "paths terminate by escape") at depth >= 3 (round 5):
-        #    textured d6 421 -> 224 ms, d3 282 -> 199, bit-identical.
-        #    Room (closed interior, background 0) keeps the scan at d6
-        #    (983 vs 1026 — re-measured under round-5 code).
-        options.integrator == "mis"
-        and (
-            (scene.bvh is not None and options.max_depth >= 8)
-            or (scene.meta.has_envmap and options.max_depth >= 2)
-            or (
-                scene.bvh is not None
-                and scene.meta.has_background
-                and options.max_depth >= 3
-            )
-        )
-    )
-    if use_wavefront:
+    if use_wavefront_policy(scene, options):
         # lane-refill driver: generates camera rays internally per refill
         from take_tpu.integrator.wavefront import trace_wavefront
 

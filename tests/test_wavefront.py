@@ -89,3 +89,39 @@ def test_wavefront_counts(monkeypatch):
     # shrinks as pool/wave grows (production: P ~ 2M, Q = 2^16)
     assert frac > 0.75, frac
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_driver_policy_matrix():
+    """The measured driver-policy matrix (render.use_wavefront_policy):
+    wavefront for deep BVH / envmap / open-BVH scenes, scan elsewhere."""
+    import dataclasses
+
+    from take_tpu.render import use_wavefront_policy
+    from take_tpu.scene.types import RenderOptions
+
+    class M:  # minimal stand-ins for (scene.meta, scene.bvh)
+        def __init__(self, envmap=False, background=False):
+            self.has_envmap = envmap
+            self.has_background = background
+
+    class S:
+        def __init__(self, bvh, envmap=False, background=False):
+            self.bvh = object() if bvh else None
+            self.meta = M(envmap, background)
+
+    o = lambda d, integ="mis": RenderOptions(
+        spp=1, max_depth=d, integrator=integ)
+
+    # closed interior (room-like): scan at d6, wavefront at d8+
+    assert not use_wavefront_policy(S(bvh=True), o(6))
+    assert use_wavefront_policy(S(bvh=True), o(8))
+    # open BVH scene (textured-like): wavefront from d3
+    assert not use_wavefront_policy(S(bvh=True, background=True), o(2))
+    assert use_wavefront_policy(S(bvh=True, background=True), o(3))
+    # envmap scene (ibl-like, brute): wavefront from d2
+    assert use_wavefront_policy(S(bvh=False, envmap=True), o(2))
+    # brute closed scene (cbox-like): scan at any depth
+    assert not use_wavefront_policy(S(bvh=False), o(50))
+    # explicit driver selection always wins / other integrators opt out
+    assert use_wavefront_policy(S(bvh=False), o(1, "mis_wavefront"))
+    assert not use_wavefront_policy(S(bvh=True), o(50, "mis_replay"))
