@@ -48,6 +48,9 @@ def banded_loss_grad(scene, options, pixel_idx, target, n_bands: int,
     Returns:
         (loss, grads) — replicated; loss is the monolithic mean.
     """
+    # NOTE: jax.shard_map (stable, v0.8+) renamed check_rep -> check_vma;
+    # staying on the experimental import until the pinned jax moves, to
+    # keep one code path (the DeprecationWarning in tests is this line).
     from jax.experimental.shard_map import shard_map
 
     N = pixel_idx.shape[0]
