@@ -125,3 +125,23 @@ def test_driver_policy_matrix():
     # explicit driver selection always wins / other integrators opt out
     assert use_wavefront_policy(S(bvh=False), o(1, "mis_wavefront"))
     assert not use_wavefront_policy(S(bvh=True), o(50, "mis_replay"))
+
+
+def test_has_background_from_parsed_scenes():
+    """The policy's static scene fact comes through the XML parser/builder:
+    cornell boxes are closed (bg 0), the builder records nonzero bg."""
+    import numpy as np
+
+    from take_tpu.scene.build import SceneBuilder
+    from take_tpu.core.camera import Camera
+    from take_tpu.scene.types import MAT_DIFFUSE
+
+    s = cornell_box(8, 8).build()
+    assert s.meta.has_background is False
+
+    b = SceneBuilder()
+    b.camera = Camera(8, 8, (0, 0, 3), (0, 0, 0), (0, 1, 0), 45.0)
+    b.background = np.array([0.05, 0.05, 0.08])
+    b.add_sphere((0, 0, 0), 1.0,
+                 b.add_material(MAT_DIFFUSE, tex_value=(0.5,) * 3))
+    assert b.build().meta.has_background is True
